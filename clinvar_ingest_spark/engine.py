@@ -1,0 +1,202 @@
+"""CdcEngine — binlog/WAL tail → lake upsert, end to end.
+
+The Spark re-expression of the reference's release lifecycle
+(reference: orchestration/templates/ingest-clinvar-release-e2e.yaml:24-64;
+phases README.md:48-78):
+
+    reference                       this engine
+    ---------                       -----------
+    weekly XML release              changelog offset range (micro-batch)
+    xml_archive existence gate      ledger.is_committed(batch_id)
+    Dataflow parse+dedup            LWW reduce + vectorized extraction
+    BigQuery 3-way diff             one full-outer-join MERGE classify
+    TDR soft-delete + append        copy-on-write bucket rewrite
+    TDR snapshot cut                atomic manifest commit (deterministic id)
+    processing_history row          ledger + lineage record
+    Kafka diff export               diff_snapshots / export_diff_ndjson
+
+Replay from any checkpoint reconverges: state after batch k is a pure
+function of (genesis, batches 0..k) — LWW is order-insensitive across
+re-deliveries and the commit is idempotent by deterministic snapshot id.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clinvar_ingest_spark.lakelet.table import LakeletTable, PAGES_COLUMNS
+from clinvar_ingest_spark.operators import diff as diff_ops
+from clinvar_ingest_spark.operators.merge import MergeStats, merge_apply
+from clinvar_ingest_spark.streaming.ledger import (
+    Ledger,
+    LineageRecord,
+    batch_id_for,
+)
+
+
+class CdcEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        n_buckets: int = 16,
+    ):
+        self.spark = spark
+        self.table = LakeletTable.create(root, PAGES_COLUMNS, n_buckets=n_buckets)
+        self.ledger = Ledger(self.table.ledger_dir)
+
+    # ------------------------------------------------------------------ apply
+
+    def apply_batch(
+        self, batch: DataFrame, first_seq: int, last_seq: int
+    ) -> MergeStats | None:
+        """Apply one micro-batch exactly once. Returns None on skip
+        (already committed — the reference's short-circuit,
+        process-and-reingest-release.yaml:37-51)."""
+        batch_id = batch_id_for(first_seq, last_seq)
+        if self.ledger.is_committed(batch_id):
+            # ensure the pointer matches (crash between manifest + ledger
+            # is impossible in this order; between pointer + ledger it
+            # self-heals here)
+            rec = self.ledger.get(batch_id)
+            if rec and self.table.has_snapshot(rec["snapshot_id"]):
+                return None
+        t0 = time.time()
+        stats = merge_apply(self.spark, self.table, batch, batch_id)
+        wall = time.time() - t0
+
+        wm_row = batch.agg(F.max("warc_ts").alias("wm")).collect()[0]
+        watermark = wm_row["wm"].isoformat() if wm_row["wm"] is not None else None
+        self.ledger.record(
+            LineageRecord(
+                batch_id=batch_id,
+                snapshot_id=stats.snapshot_id,
+                first_seq=first_seq,
+                last_seq=last_seq,
+                n_events=stats.n_events,
+                n_inserts=stats.n_inserts,
+                n_updates=stats.n_updates,
+                n_deletes=stats.n_deletes,
+                touched_buckets=stats.touched_buckets,
+                watermark=watermark,
+                wall_secs=round(wall, 4),
+                events_per_sec=round(stats.n_events / wall, 2) if wall > 0 else 0.0,
+            )
+        )
+        return stats
+
+    def replay(
+        self,
+        changelog: DataFrame,
+        batch_size: int,
+        from_seq: int | None = None,
+    ) -> list[MergeStats]:
+        """Drive the micro-batch loop over a changelog DataFrame.
+
+        ``from_seq=None`` resumes from the ledger checkpoint — replaying
+        a changelog against a half-applied table continues where it
+        stopped; replaying from 0 no-ops the committed prefix.
+        """
+        bounds = changelog.agg(
+            F.min("seq").alias("lo"), F.max("seq").alias("hi")
+        ).collect()[0]
+        if bounds["lo"] is None:
+            return []
+        lo = int(bounds["lo"]) if from_seq is None else from_seq
+        hi = int(bounds["hi"])
+        out: list[MergeStats] = []
+        start = lo - (lo % batch_size)
+        for first in range(start, hi + 1, batch_size):
+            last = first + batch_size - 1
+            b = changelog.filter(
+                (F.col("seq") >= first) & (F.col("seq") <= last)
+            )
+            stats = self.apply_batch(b, first, last)
+            if stats is not None:
+                out.append(stats)
+        return out
+
+    # ------------------------------------------------------------------ reads
+
+    def read(self, snapshot_id: str | None = None) -> DataFrame:
+        return self.table.read(self.spark, snapshot_id)
+
+    def pages(self, snapshot_id: str | None = None) -> DataFrame:
+        """User-facing view: input_hint columns only (lineage cols hidden)."""
+        return self.read(snapshot_id).select("url", "warc_ts", "html", "text", "lang")
+
+    # ------------------------------------------------------------------- diff
+
+    def diff_snapshots(
+        self, old_snapshot: str, new_snapshot: str, null_safe: bool = True
+    ) -> DataFrame:
+        """created/updated/deleted rows between two snapshots
+        (reference: docker/diff/diff.py:117-182)."""
+        old = self.read(old_snapshot).drop("_seq")
+        new = self.read(new_snapshot).drop("_seq")
+        return diff_ops.diff_all(new, old, keys=[self.table.key_col], null_safe=null_safe)
+
+    def export_diff_ndjson(
+        self, old_snapshot: str, new_snapshot: str, out_dir: str
+    ) -> dict:
+        """NDJSON slices per change type (reference: diff.py:185-207 export
+        + date-present.yaml per-table get-created/deleted/updated)."""
+        d = self.diff_snapshots(old_snapshot, new_snapshot)
+        d = d.withColumn("html", F.base64("html"))  # binary → NDJSON-safe
+        counts = {}
+        for kind in ("created", "updated", "deleted"):
+            path = os.path.join(out_dir, kind)
+            slice_df = d.filter(F.col("_change") == kind).drop("_change")
+            slice_df.write.mode("overwrite").json(path)
+            counts[kind] = slice_df.count()
+        # notify record (reference: notify-clingen-kafka.py:17-48)
+        from clinvar_ingest_spark.lakelet.manifest import atomic_write_json
+
+        msg = {
+            "old_snapshot": old_snapshot,
+            "new_snapshot": new_snapshot,
+            "files": sorted(
+                os.path.relpath(p, out_dir)
+                for kind in counts
+                for p in _ls(os.path.join(out_dir, kind))
+            ),
+            "counts": counts,
+        }
+        atomic_write_json(os.path.join(out_dir, "_notify.json"), msg)
+        return msg
+
+    # ------------------------------------------------------------- state hash
+
+    def state_hash(self, snapshot_id: str | None = None) -> str:
+        """Order-insensitive content hash of the logical table state —
+        the replay-convergence check (north rule: identical final state).
+        """
+        df = self.pages(snapshot_id)
+        h = df.select(
+            F.sha2(
+                F.concat_ws(
+                    "\x1f",
+                    F.col("url"),
+                    F.col("warc_ts").cast("string"),
+                    F.sha2(F.col("html"), 256),
+                    F.col("text"),
+                    F.col("lang"),
+                ),
+                256,
+            ).alias("h")
+        )
+        row = h.agg(
+            F.sum(F.conv(F.substring("h", 1, 15), 16, 10).cast("decimal(38,0)")).alias("s"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        return f"{row['n']}:{row['s']}"
+
+
+def _ls(path: str):
+    import glob as _g
+
+    return _g.glob(os.path.join(path, "part-*"))

@@ -1,0 +1,134 @@
+"""Snapshot manifests: the metadata layer of a lakelet table.
+
+Reference analogues: the TDR dataset's snapshot cut by ``release_date``
+(reference: orchestration/scripts/request-release-date-snapshot.py:127-154;
+schema/src/main/jade-assets/clinvar_release.asset.json) and the
+date-partitioned physical layout every table declares (reference:
+schema/src/main/jade-tables/gene.table.json:33-36). Here a snapshot is a
+JSON manifest pinning {schema version, file list with per-file stats,
+parent pointer, batch id}; the *current* table state is a one-line
+pointer file swapped by atomic rename.
+
+Exactly-once (SURVEY.md §7 hard part (a)): ``snapshot_id`` is a
+deterministic hash of (parent_id, batch_id, schema_version) — the same
+batch applied twice computes the same id, detects the existing manifest,
+and becomes a no-op, mirroring the reference's COUNT(1) short-circuits
+(reference: orchestration/templates/ingest-xml-archive.yaml:97-110,
+process-and-reingest-release.yaml:37-51).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import tempfile
+from dataclasses import dataclass, field, asdict
+
+
+@dataclass
+class ColumnSpec:
+    """One column: stable ``col_id`` survives renames (hard part (c))."""
+
+    col_id: int
+    name: str
+    type: str  # spark simpleString: string|binary|timestamp|int|long|float|double|date|boolean
+
+    def to_json(self) -> dict:
+        return asdict(self)
+
+    @staticmethod
+    def from_json(d: dict) -> "ColumnSpec":
+        return ColumnSpec(col_id=d["col_id"], name=d["name"], type=d["type"])
+
+
+@dataclass
+class FileEntry:
+    path: str  # relative to table root
+    bucket: int
+    rows: int
+    schema_version: int  # schema the file was written under (name-mapping key)
+    min_key: str | None = None
+    max_key: str | None = None
+
+    def to_json(self) -> dict:
+        return asdict(self)
+
+    @staticmethod
+    def from_json(d: dict) -> "FileEntry":
+        return FileEntry(**d)
+
+
+@dataclass
+class Manifest:
+    snapshot_id: str
+    parent_id: str | None
+    batch_id: str | None
+    schema_version: int
+    n_buckets: int
+    # all schema versions ever committed, so any historical file is readable
+    schemas: dict[int, list[ColumnSpec]] = field(default_factory=dict)
+    files: list[FileEntry] = field(default_factory=list)
+    summary: dict = field(default_factory=dict)
+
+    @property
+    def columns(self) -> list[ColumnSpec]:
+        return self.schemas[self.schema_version]
+
+    def to_json(self) -> dict:
+        return {
+            "format_version": 1,
+            "snapshot_id": self.snapshot_id,
+            "parent_id": self.parent_id,
+            "batch_id": self.batch_id,
+            "schema_version": self.schema_version,
+            "n_buckets": self.n_buckets,
+            "schemas": {
+                str(v): [c.to_json() for c in cols] for v, cols in self.schemas.items()
+            },
+            "files": [f.to_json() for f in self.files],
+            "summary": self.summary,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "Manifest":
+        return Manifest(
+            snapshot_id=d["snapshot_id"],
+            parent_id=d["parent_id"],
+            batch_id=d["batch_id"],
+            schema_version=d["schema_version"],
+            n_buckets=d["n_buckets"],
+            schemas={
+                int(v): [ColumnSpec.from_json(c) for c in cols]
+                for v, cols in d["schemas"].items()
+            },
+            files=[FileEntry.from_json(f) for f in d["files"]],
+            summary=d.get("summary", {}),
+        )
+
+
+def snapshot_id_for(parent_id: str | None, batch_id: str, schema_version: int) -> str:
+    """Deterministic snapshot id — the exactly-once key."""
+    payload = f"{parent_id or 'root'}|{batch_id}|{schema_version}"
+    return hashlib.sha256(payload.encode("utf-8")).hexdigest()[:20]
+
+
+def atomic_write_json(path: str, obj: dict) -> None:
+    """Write-then-rename: readers never observe a torn manifest."""
+    d = os.path.dirname(path)
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(obj, f, indent=1, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def read_json(path: str) -> dict:
+    with open(path) as f:
+        return json.load(f)

@@ -1,0 +1,171 @@
+"""Key-partitioned MERGE apply (copy-on-write) — the engine's flagship operator.
+
+Semantics (north rule + reference parity):
+
+1. **LWW-reduce the batch**: one surviving event per ``url`` by
+   ``(warc_ts, seq)`` — reference ``dedupByDate``
+   (ArchiveBranches.scala:140-156) with the deterministic ``seq``
+   tie-break (SURVEY.md §7(b)).
+2. **Extract text** once per surviving upsert (Arrow-vectorized pandas
+   UDF; the reference's heavy decode step, process-xml-release.yaml:70-90).
+3. **Classify vs the current snapshot** restricted to *touched buckets*
+   (manifest-level partition pruning): insert / update / delete — the
+   reference's three-way diff (docker/diff/diff.py:117-182) folded into
+   ONE full-outer join instead of three.
+4. **Late-event guard**: a batch row only wins if
+   ``struct(warc_ts, seq) > struct(cur.warc_ts, cur._seq)`` — replays
+   and out-of-order deliveries reconverge instead of regressing state.
+5. **Copy-on-write**: rewrite only touched buckets' files — the
+   reference's soft-delete+append upsert
+   (process-and-reingest-release.yaml:226-280) at file granularity.
+
+Scale shape: the only wide exchanges are (a) the LWW partial-agg
+shuffle on ``url`` and (b) the merge join on ``url`` — both on the same
+key. The snapshot side is pre-bucketed by the same hash, and the batch
+side is typically ≪ snapshot, so AQE broadcasts it; skewed batch keys
+collapse to one row per key *before* the join (the groupBy's map-side
+partial aggregation is the skew absorber).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clinvar_ingest_spark.functions.extract import extract_text_udf
+from clinvar_ingest_spark.lakelet.table import LakeletTable, bucket_expr
+from clinvar_ingest_spark.operators.lww import lww_latest
+
+
+@dataclass
+class MergeStats:
+    batch_id: str
+    snapshot_id: str
+    n_events: int
+    n_keys: int
+    n_inserts: int
+    n_updates: int
+    n_deletes: int
+    touched_buckets: int
+
+
+def reduce_batch(batch: DataFrame) -> DataFrame:
+    """LWW-reduce a raw changelog micro-batch to one row per url,
+    then extract text for surviving upserts only.
+    """
+    batch = batch.withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    latest = lww_latest(batch, keys=("url",), order_by=("warc_ts", "seq"))
+    return latest.withColumn(
+        "text",
+        F.when(F.col("op") != "delete", extract_text_udf(F.col("html"))),
+    )
+
+
+def merge_apply(
+    spark: SparkSession,
+    table: LakeletTable,
+    batch: DataFrame,
+    batch_id: str,
+) -> MergeStats:
+    """Apply one micro-batch to the table; returns lineage stats.
+
+    ``batch`` columns: seq, op, url, warc_ts, html, lang[, schema_ver].
+    """
+    m = table.manifest()
+    n_events = batch.count()
+
+    reduced = reduce_batch(batch).withColumn(
+        "_bucket", bucket_expr("url", m.n_buckets)
+    )
+    # cache: used for touched-bucket planning, the join, and lineage
+    reduced = reduced.persist()
+    try:
+        touched = [
+            r["_bucket"] for r in reduced.select("_bucket").distinct().collect()
+        ]
+        current = table.read(spark, buckets=touched)
+
+        # payload columns of the table schema; those also present in the
+        # batch come from the batch on insert/update, the rest carry over
+        # from the current row (post-evolution columns backfill as NULL
+        # on insert).
+        table_cols = [cs.name for cs in m.columns]
+        batch_payload = set(reduced.columns)
+
+        b = reduced.select(
+            *[F.col(cn).alias(f"_b_{cn}") for cn in reduced.columns]
+        )
+        c = current.select(
+            *[F.col(cname).alias(f"_c_{cname}") for cname in current.columns]
+        )
+        j = b.join(c, b["_b_url"] == c["_c_url"], "full_outer")
+
+        batch_wins = F.col("_c_url").isNull() | (
+            F.struct(F.col("_b_warc_ts"), F.col("_b_seq"))
+            > F.struct(F.col("_c_warc_ts"), F.col("_c__seq"))
+        )
+        is_batch = F.col("_b_url").isNotNull()
+        is_delete = F.col("_b_op") == "delete"
+
+        action = (
+            F.when(~is_batch, F.lit("keep"))  # untouched key in touched bucket
+            .when(~batch_wins, F.lit("keep_late"))  # late event loses
+            .when(is_delete & F.col("_c_url").isNotNull(), F.lit("delete"))
+            .when(is_delete, F.lit("noop_delete"))  # delete of absent key
+            .when(F.col("_c_url").isNull(), F.lit("insert"))
+            .otherwise(F.lit("update"))
+        )
+        j = j.withColumn("_action", action).persist()
+
+        counts = {
+            r["_action"]: r["n"]
+            for r in j.groupBy("_action").agg(F.count("*").alias("n")).collect()
+        }
+
+        survivors = j.filter(
+            F.col("_action").isin("keep", "keep_late", "insert", "update")
+        )
+        take_batch = F.col("_action").isin("insert", "update")
+
+        def out_col(name: str):
+            cur = F.col(f"_c_{name}")
+            if name == "_seq":
+                return F.when(take_batch, F.col("_b_seq")).otherwise(cur).alias(name)
+            if name == "text":
+                return F.when(take_batch, F.col("_b_text")).otherwise(cur).alias(name)
+            if name in batch_payload:
+                return F.when(take_batch, F.col(f"_b_{name}")).otherwise(cur).alias(name)
+            return cur.alias(name)  # evolved column unknown to this batch
+
+        new_rows = survivors.select(*[out_col(cn) for cn in table_cols]).withColumn(
+            "_bucket", bucket_expr("url", m.n_buckets)
+        )
+
+        sid = table.commit_rewrite(
+            spark,
+            new_rows,
+            touched_buckets=touched,
+            batch_id=batch_id,
+            summary={"last_batch_events": n_events},
+        )
+        return MergeStats(
+            batch_id=batch_id,
+            snapshot_id=sid,
+            n_events=n_events,
+            n_keys=sum(
+                counts.get(a, 0)
+                for a in ("insert", "update", "delete", "noop_delete", "keep_late")
+            ),
+            n_inserts=counts.get("insert", 0),
+            n_updates=counts.get("update", 0),
+            n_deletes=counts.get("delete", 0),
+            touched_buckets=len(touched),
+        )
+    finally:
+        reduced.unpersist()
+        try:
+            j.unpersist()
+        except Exception:
+            pass

@@ -1,0 +1,191 @@
+"""Deterministic synthetic changelog (simulated binlog/WAL) generator.
+
+Replaces the reference's external source path (FTP download of weekly
+ClinVar XML, reference: orchestration/templates/ingest-xml-archive.yaml:44-62,
+then XML→JSON extraction, process-xml-release.yaml:70-90) with a seeded,
+fully-deterministic stream of insert/update/delete events over
+Common-Crawl-style web pages — FIXTURES.md §2 schema:
+
+    (seq:long, op:string, url:string, warc_ts:timestamp,
+     html:binary, lang:string, schema_ver:int)
+
+Properties (all seeded; default seed=42):
+- host skew: urls drawn over hosts with a Zipf-like distribution so a
+  few hot hosts dominate — exercises the engine's salted
+  hash-partitioning / skew-split path (north rule);
+- op mix insert:update:delete defaulting to 3:6:1 on an existing-key
+  basis (first event for a url is always the insert);
+- out-of-order rate: some events carry a *late* ``warc_ts`` (earlier
+  than the key's current max) — exercises LWW;
+- duplicate rate: some events are re-emitted verbatim (same ``seq``) —
+  exercises exactly-once / idempotent apply;
+- ``html`` payloads are rendered from a fixed template with seeded
+  word sequences, so extracted text is reproducible byte-for-byte.
+
+Everything is numpy-vectorized; generation at bench scale must not be
+the bottleneck being measured.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+LANGS = np.array(["en", "de", "fr", "es", "it"])
+
+_WORDS = np.array(
+    (
+        "data page crawl web merge batch snapshot table row key value hash "
+        "partition shuffle stream event change insert update delete commit "
+        "ledger offset lineage schema column text html link index archive"
+    ).split()
+)
+
+CHANGELOG_COLUMNS = ["seq", "op", "url", "warc_ts", "html", "lang", "schema_ver"]
+
+_EPOCH = np.datetime64("2024-01-01T00:00:00", "us")
+
+
+@dataclass
+class ChangelogSpec:
+    n_events: int = 10_000
+    n_urls: int = 2_000
+    n_hosts: int = 50
+    zipf_s: float = 1.3
+    p_update: float = 0.6
+    p_delete: float = 0.1  # remainder → insert of a new url
+    out_of_order_rate: float = 0.1
+    duplicate_rate: float = 0.02
+    seed: int = 42
+    schema_ver: int = 1
+
+
+def _render_html(urls: np.ndarray, bodies: list[str], langs: np.ndarray) -> list[bytes]:
+    """Fixed template → deterministic bytes (vectorized via list comp on arrays)."""
+    return [
+        (
+            f'<html lang="{lang}"><head><title>{u}</title>'
+            f"<script>var x=1;</script><style>p{{color:red}}</style></head>"
+            f"<body><!-- gen --><h1>{u}</h1><p>{body}</p>"
+            f"<div>footer &amp; links</div></body></html>"
+        ).encode("utf-8")
+        for u, body, lang in zip(urls, bodies, langs)
+    ]
+
+
+def generate_changelog(spec: ChangelogSpec | None = None, **kw) -> pd.DataFrame:
+    """Generate the event stream as a pandas DataFrame ordered by ``seq``."""
+    spec = spec or ChangelogSpec(**kw)
+    rng = np.random.default_rng(spec.seed)
+
+    # --- url universe with Zipf host skew -------------------------------
+    host_ranks = np.arange(1, spec.n_hosts + 1, dtype=np.float64)
+    host_probs = host_ranks ** (-spec.zipf_s)
+    host_probs /= host_probs.sum()
+    url_hosts = rng.choice(spec.n_hosts, size=spec.n_urls, p=host_probs)
+    urls = np.array(
+        [f"https://host{h:03d}.example.com/page/{i:06d}" for i, h in enumerate(url_hosts)]
+    )
+
+    # --- per-event op / key selection (vectorized state machine) --------
+    n = spec.n_events
+    ops = np.empty(n, dtype=object)
+    key_idx = np.empty(n, dtype=np.int64)
+    u = rng.random(n)
+    inserted: list[int] = []
+    inserted_set = np.zeros(spec.n_urls, dtype=bool)
+    next_new = 0
+    # choose candidate existing keys up-front (re-drawn per event from the
+    # inserted prefix); loop is over events but does only O(1) python work
+    cand = rng.random(n)
+    deleted = np.zeros(spec.n_urls, dtype=bool)
+    for i in range(n):
+        want_update = u[i] < spec.p_update
+        want_delete = spec.p_update <= u[i] < spec.p_update + spec.p_delete
+        if (want_update or want_delete) and inserted:
+            j = inserted[int(cand[i] * len(inserted))]
+            key_idx[i] = j
+            if want_delete and not deleted[j]:
+                ops[i] = "delete"
+                deleted[j] = True
+            else:
+                ops[i] = "update"
+                deleted[j] = False  # an update resurrects a deleted url
+        else:
+            if next_new >= spec.n_urls:  # url universe exhausted → update
+                j = inserted[int(cand[i] * len(inserted))]
+                key_idx[i] = j
+                ops[i] = "update"
+                deleted[j] = False
+            else:
+                key_idx[i] = next_new
+                ops[i] = "insert"
+                inserted.append(next_new)
+                inserted_set[next_new] = True
+                next_new += 1
+
+    # --- timestamps: increasing base + late out-of-order jitter ---------
+    base_us = np.cumsum(rng.integers(1, 120_000_000, size=n))  # ~1m avg step
+    late = rng.random(n) < spec.out_of_order_rate
+    jitter = rng.integers(60_000_000, 3_600_000_000, size=n)  # 1min..1h back
+    ts_us = base_us - np.where(late, jitter, 0)
+    warc_ts = _EPOCH + ts_us.astype("timedelta64[us]")
+
+    # --- payloads --------------------------------------------------------
+    ev_urls = urls[key_idx]
+    langs = LANGS[rng.integers(0, len(LANGS), size=n)]
+    word_ix = rng.integers(0, len(_WORDS), size=(n, 12))
+    bodies = [" ".join(_WORDS[row]) for row in word_ix]
+    html = _render_html(ev_urls, bodies, langs)
+
+    df = pd.DataFrame(
+        {
+            "seq": np.arange(n, dtype=np.int64),
+            "op": ops,
+            "url": ev_urls,
+            "warc_ts": warc_ts,
+            "html": html,
+            "lang": langs,
+            "schema_ver": np.full(n, spec.schema_ver, dtype=np.int32),
+        }
+    )
+    # delete events carry no payload (FIXTURES.md §2)
+    is_del = df["op"] == "delete"
+    df.loc[is_del, "html"] = None
+    df.loc[is_del, "lang"] = None
+
+    # --- duplicate re-delivery (same seq, verbatim) ----------------------
+    if spec.duplicate_rate > 0:
+        dup_mask = rng.random(n) < spec.duplicate_rate
+        dups = df[dup_mask]
+        df = pd.concat([df, dups], ignore_index=True)
+        df = df.sort_values(["seq"], kind="stable").reset_index(drop=True)
+    return df
+
+
+def changelog_arrow_schema() -> pa.Schema:
+    return pa.schema(
+        [
+            ("seq", pa.int64()),
+            ("op", pa.string()),
+            ("url", pa.string()),
+            ("warc_ts", pa.timestamp("us")),
+            ("html", pa.binary()),
+            ("lang", pa.string()),
+            ("schema_ver", pa.int32()),
+        ]
+    )
+
+
+def write_changelog_parquet(df: pd.DataFrame, path: str) -> None:
+    table = pa.Table.from_pandas(df, schema=changelog_arrow_schema(), preserve_index=False)
+    pq.write_table(table, path, compression="zstd")
+
+
+def read_changelog(spark, path: str):
+    """Read a changelog parquet with Spark (schema carried by the file)."""
+    return spark.read.parquet(path)

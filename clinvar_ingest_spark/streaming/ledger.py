@@ -1,0 +1,82 @@
+"""Offsets / lineage ledger — the engine's exactly-once memory.
+
+Reference analogues: ``processing_history`` (pipeline_version + run date
+per release, reference: README.md:30-41,
+schema/src/main/jade-tables/processing_history.table.json) and the
+COUNT(1) idempotency gates
+(orchestration/scripts/count-processing-history-rows.sh:113-127,
+check-if-processed-today.sh:99-113). A batch is committed iff its ledger
+record exists; records are single JSON files written atomically, so the
+check is a metadata lookup, not a table scan.
+
+Also holds per-batch **lineage** records — the engine's replacement for
+the reference's Kafka notify message {release_date, bucket, files[]}
+(orchestration/scripts/notify-clingen-kafka.py:17-48): per micro-batch
+{batch_id, snapshot_id, per-partition event counts, watermark,
+events_per_sec}.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+from dataclasses import asdict, dataclass, field
+
+from clinvar_ingest_spark.lakelet.manifest import atomic_write_json, read_json
+
+ENGINE_VERSION = "0.1.0"
+
+
+def batch_id_for(first_seq: int, last_seq: int) -> str:
+    """Deterministic batch id from the offset range (FIXTURES.md §3)."""
+    return f"{first_seq:012d}-{last_seq:012d}"
+
+
+@dataclass
+class LineageRecord:
+    batch_id: str
+    snapshot_id: str
+    first_seq: int
+    last_seq: int
+    n_events: int
+    n_inserts: int
+    n_updates: int
+    n_deletes: int
+    touched_buckets: int
+    watermark: str | None  # max applied warc_ts (ISO)
+    wall_secs: float
+    events_per_sec: float
+    engine_version: str = ENGINE_VERSION
+    applied_at: float = field(default_factory=time.time)  # excluded from determinism
+    partitions: list[dict] = field(default_factory=list)  # per-bucket lineage
+
+
+class Ledger:
+    def __init__(self, ledger_dir: str):
+        self.dir = ledger_dir
+        os.makedirs(self.dir, exist_ok=True)
+
+    def _path(self, batch_id: str) -> str:
+        return os.path.join(self.dir, f"{batch_id}.json")
+
+    def is_committed(self, batch_id: str) -> bool:
+        return os.path.exists(self._path(batch_id))
+
+    def record(self, rec: LineageRecord) -> None:
+        atomic_write_json(self._path(rec.batch_id), asdict(rec))
+
+    def get(self, batch_id: str) -> dict | None:
+        p = self._path(batch_id)
+        return read_json(p) if os.path.exists(p) else None
+
+    def all_records(self) -> list[dict]:
+        return sorted(
+            (read_json(p) for p in glob.glob(os.path.join(self.dir, "*.json"))),
+            key=lambda r: r["batch_id"],
+        )
+
+    def last_applied_seq(self) -> int:
+        """Resume point: max last_seq over committed batches (checkpoint)."""
+        recs = self.all_records()
+        return max((r["last_seq"] for r in recs), default=-1)

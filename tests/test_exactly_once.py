@@ -1,0 +1,92 @@
+"""Exactly-once + replay convergence (north rule: replay from any
+checkpoint reconverges to the identical table state; reference
+short-circuits: ingest-xml-archive.yaml:97-110,
+process-and-reingest-release.yaml:28-51)."""
+
+import pytest
+
+from clinvar_ingest_spark.engine import CdcEngine
+from clinvar_ingest_spark.sources.changelog import (
+    ChangelogSpec,
+    changelog_arrow_schema,
+    generate_changelog,
+)
+
+
+@pytest.fixture(scope="module")
+def changelog_df(spark, tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = generate_changelog(
+        ChangelogSpec(n_events=2000, n_urls=300, n_hosts=8, seed=11, duplicate_rate=0.05)
+    )
+    p = str(tmp_path_factory.mktemp("cl") / "changelog.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=changelog_arrow_schema(), preserve_index=False), p
+    )
+    return spark.read.parquet(p)
+
+
+def test_double_apply_is_noop(spark, changelog_df, tmp_table_root):
+    e = CdcEngine(spark, tmp_table_root, n_buckets=8)
+    b = changelog_df.filter("seq < 1000")
+    s1 = e.apply_batch(b, 0, 999)
+    assert s1 is not None
+    h1 = e.state_hash()
+    hist1 = e.table.history()
+    # second apply of the identical batch: skipped entirely
+    s2 = e.apply_batch(b, 0, 999)
+    assert s2 is None
+    assert e.state_hash() == h1
+    assert e.table.history() == hist1
+
+
+def test_resume_from_checkpoint(spark, changelog_df, tmp_table_root):
+    e = CdcEngine(spark, tmp_table_root, n_buckets=8)
+    # apply only the first half, simulating a crash after batch 1
+    e.replay(changelog_df.filter("seq < 1000"), batch_size=500)
+    assert e.ledger.last_applied_seq() == 999
+    # a fresh engine over the same root resumes and completes
+    e2 = CdcEngine(spark, tmp_table_root, n_buckets=8)
+    e2.replay(changelog_df, batch_size=500)
+    # reference: full replay into a clean table
+    e3 = CdcEngine(spark, str(tmp_table_root) + "_ref", n_buckets=8)
+    e3.replay(changelog_df, batch_size=500)
+    assert e2.state_hash() == e3.state_hash()
+
+
+def test_replay_from_every_checkpoint_reconverges(spark, changelog_df, tmp_path):
+    ref = CdcEngine(spark, str(tmp_path / "ref"), n_buckets=8)
+    ref.replay(changelog_df, batch_size=500)
+    want = ref.state_hash()
+    # kill after k batches, then replay the WHOLE changelog from seq 0:
+    # committed prefix no-ops, remainder applies
+    for k in (1, 2, 3):
+        e = CdcEngine(spark, str(tmp_path / f"t{k}"), n_buckets=8)
+        e.replay(changelog_df.filter(f"seq < {k * 500}"), batch_size=500)
+        e.replay(changelog_df, batch_size=500)
+        assert e.state_hash() == want, f"diverged replaying from checkpoint {k}"
+
+
+def test_duplicate_events_in_stream_are_absorbed(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spec = ChangelogSpec(n_events=1000, n_urls=150, seed=3, duplicate_rate=0.0)
+    clean = generate_changelog(spec)
+    spec_dup = ChangelogSpec(n_events=1000, n_urls=150, seed=3, duplicate_rate=0.3)
+    dup = generate_changelog(spec_dup)
+    paths = []
+    for name, pdf in (("clean", clean), ("dup", dup)):
+        p = str(tmp_path / f"{name}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=changelog_arrow_schema(), preserve_index=False),
+            p,
+        )
+        paths.append(p)
+    e1 = CdcEngine(spark, str(tmp_path / "t_clean"), n_buckets=8)
+    e1.replay(spark.read.parquet(paths[0]), batch_size=400)
+    e2 = CdcEngine(spark, str(tmp_path / "t_dup"), n_buckets=8)
+    e2.replay(spark.read.parquet(paths[1]), batch_size=400)
+    assert e1.state_hash() == e2.state_hash()

@@ -1,0 +1,109 @@
+"""Schema evolution: add / rename / widen without data rewrite
+(SURVEY.md M5; reference insulation via `content` spill, README.md:24-28,
+replaced here by real evolution + name-mapping)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from clinvar_ingest_spark.lakelet.table import LakeletTable, bucket_expr, ColumnSpec
+
+TS = dt.datetime(2024, 1, 1)
+
+
+def _commit_pages(spark, table, rows, batch_id):
+    cols = [c.name for c in table.manifest().columns]
+    df = spark.createDataFrame(rows, cols).withColumn(
+        "warc_ts", F.col("warc_ts").cast("timestamp")
+    )
+    df = df.withColumn("_bucket", bucket_expr("url", table.manifest().n_buckets))
+    buckets = [r["_bucket"] for r in df.select("_bucket").distinct().collect()]
+    return table.commit_rewrite(spark, df, buckets, batch_id)
+
+
+@pytest.fixture()
+def table(spark, tmp_table_root):
+    t = LakeletTable.create(tmp_table_root, n_buckets=4)
+    _commit_pages(
+        spark,
+        t,
+        [("u1", TS, b"<p>a</p>", "a", "en", 0), ("u2", TS, b"<p>b</p>", "b", "de", 1)],
+        "b1",
+    )
+    return t
+
+
+def test_add_column_backfills_null(spark, table):
+    pre = table.current_snapshot_id()
+    table.add_column("fetch_status", "int")
+    df = table.read(spark)
+    assert "fetch_status" in df.columns
+    assert df.filter(F.col("fetch_status").isNull()).count() == 2
+    # old snapshot unaffected
+    assert "fetch_status" not in table.read(spark, snapshot_id=pre).columns
+
+
+def test_rename_without_rewrite(spark, table):
+    files_before = {f.path for f in table.manifest().files}
+    table.rename_column("lang", "language")
+    files_after = {f.path for f in table.manifest().files}
+    assert files_before == files_after  # metadata-only: zero data rewritten
+    got = {r["url"]: r["language"] for r in table.read(spark).collect()}
+    assert got == {"u1": "en", "u2": "de"}
+
+
+def test_widen_without_rewrite(spark, tmp_path):
+    cols = [
+        ColumnSpec(1, "url", "string"),
+        ColumnSpec(2, "warc_ts", "timestamp"),
+        ColumnSpec(3, "hits", "int"),
+    ]
+    t = LakeletTable.create(str(tmp_path / "t"), cols, n_buckets=2)
+    df = spark.createDataFrame([("u1", TS, 7)], ["url", "warc_ts", "hits"]).withColumn(
+        "warc_ts", F.col("warc_ts").cast("timestamp")
+    ).withColumn("hits", F.col("hits").cast("int")).withColumn(
+        "_bucket", bucket_expr("url", 2)
+    )
+    b = [r["_bucket"] for r in df.select("_bucket").distinct().collect()]
+    t.commit_rewrite(spark, df, b, "b1")
+    files_before = {f.path for f in t.manifest().files}
+    t.widen_column("hits", "long")
+    assert {f.path for f in t.manifest().files} == files_before
+    out = t.read(spark)
+    assert dict(out.dtypes)["hits"] == "bigint"
+    assert out.collect()[0]["hits"] == 7
+
+
+def test_illegal_widen_rejected(table):
+    with pytest.raises(ValueError):
+        table.widen_column("url", "long")
+
+
+def test_mixed_version_files_union(spark, table):
+    """Files written before AND after evolution read as one table."""
+    table.add_column("fetch_status", "int")
+    # new commit under the evolved schema touches only u1's bucket
+    _commit_pages(
+        spark,
+        table,
+        [("u3", TS, b"<p>c</p>", "c", "fr", 2, 200)],
+        "b2",
+    )
+    df = table.read(spark)
+    rows = {r["url"]: (r["lang"], r["fetch_status"]) for r in df.collect()}
+    assert rows["u3"] == ("fr", 200)
+    # old-file rows survive with NULL backfill unless their bucket was rewritten
+    assert set(rows) >= {"u3"}
+    vers = {f.schema_version for f in table.manifest().files}
+    assert 2 in vers and vers <= {1, 2}
+
+
+def test_rename_then_continue_writing(spark, table):
+    table.rename_column("lang", "language")
+    _commit_pages(spark, table, [("u9", TS, b"<p>z</p>", "z", "it", 9)], "b3")
+    got = {r["url"]: r["language"] for r in table.read(spark).collect()}
+    assert got.get("u9") == "it"
+    # evolved-version files present, all readable
+    vers = {f.schema_version for f in table.manifest().files}
+    assert 2 in vers and vers <= {1, 2}
