@@ -1,0 +1,140 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline metric: sustained MERGE-apply change-events/sec (BASELINE.json),
+measured by replaying a deterministic synthetic changelog (size scaled to
+the sf of $SPARK_GRAFT_SF_DIR) through the full CDC path, plus per-query
+wall times for the operator suite over the driver's testdata.
+
+Env:
+  SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] parallelism (default *)
+  BENCH_QUERIES        comma list to restrict (default: headline set)
+
+Run at two parallelism levels for the north-rule scaling evidence:
+  SPARK_GRAFT_CPUS=8 python bench.py ; SPARK_GRAFT_CPUS=32 python bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "")
+
+HEADLINE = [
+    "cdc_lww_state",
+    "diff_updated",
+    "set_union_event_types",
+    "events_hourly",
+    "tpch_q1",
+    "order_revenue",
+    "dedup_exact",
+    "text_quality",
+    "lang_id",
+    "fingerprint_docs",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_near_pairs",
+    "ann_topk",
+    "multimodal_meta",
+]
+
+
+def _sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    return float(base[2:]) if base.startswith("sf") else 0.0
+
+
+def _force(df) -> None:
+    """Materialize every column (count() alone lets Catalyst prune)."""
+    df.write.mode("overwrite").format("noop").save()
+
+
+def bench_cdc_replay(spark, sf: float, workdir: str) -> dict:
+    """The primary metric: full merge-apply path events/sec."""
+    from clinvar_ingest_spark.engine import CdcEngine
+    from clinvar_ingest_spark.sources.changelog import (
+        ChangelogSpec,
+        generate_changelog,
+        write_changelog_parquet,
+    )
+
+    n_events = max(int(1_500_000 * sf), 20_000)  # sf0.1 → 150k events
+    clp = os.path.join(workdir, "changelog.parquet")
+    write_changelog_parquet(
+        generate_changelog(
+            ChangelogSpec(
+                n_events=n_events, n_urls=max(n_events // 6, 1000), n_hosts=100, seed=42
+            )
+        ),
+        clp,
+    )
+    cl = spark.read.parquet(clp)
+    eng = CdcEngine(spark, os.path.join(workdir, "pages"), n_buckets=32)
+    t0 = time.time()
+    stats = eng.replay(cl, batch_size=max(n_events // 4, 1))
+    wall = time.time() - t0
+    total_events = sum(s.n_events for s in stats)
+    return {
+        "events": total_events,
+        "sec": round(wall, 3),
+        "events_per_sec": round(total_events / wall, 1),
+        "final_rows": eng.pages().count(),
+    }
+
+
+def main() -> None:
+    from clinvar_ingest_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="bench")
+    sf = _sf_of(SF_DIR)
+    qmap = entrymod.queries()
+    names = [
+        n
+        for n in (
+            os.environ.get("BENCH_QUERIES", "").split(",")
+            if os.environ.get("BENCH_QUERIES")
+            else HEADLINE
+        )
+        if n in qmap
+    ]
+
+    # warm the JVM/codegen once on a trivial plan
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        _force(qmap[name](spark, SF_DIR))
+        times[name] = round(time.time() - t0, 3)
+
+    workdir = tempfile.mkdtemp(prefix="bench_cdc_")
+    try:
+        cdc = bench_cdc_replay(spark, sf, workdir)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    times["cdc_replay"] = cdc["sec"]
+
+    out = {
+        "metric": "merge_apply_events_per_sec",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cdc": cdc,
+        "cores": CPUS or "all",
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""Dedup suite: exact, n-gram Jaccard, MinHash-LSH recall, SimHash."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from clinvar_ingest_spark.operators import dedupe
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy cat"),  # near dup of 0
+    (3, "completely different text about spark engines"),
+    (4, "a b"),  # shorter than shingle width
+    (5, "completely different text about spark engines"),  # exact dup of 3
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_dedup_exact(docs):
+    out = dedupe.dedup_exact(docs).collect()
+    groups = {r["keep_id"]: r["n_dups"] for r in out}
+    assert groups[0] == 2 and groups[3] == 2 and groups[2] == 1 and groups[4] == 1
+    assert len(out) == 4
+
+
+def test_ngram_shingles_short_doc_empty(docs):
+    sh = dedupe.ngram_shingles(docs, n=3)
+    assert sh.filter(F.col("id") == 4).count() == 0
+    # doc 0: 9 tokens → 7 trigrams, 'the' repeats but grams distinct
+    assert sh.filter(F.col("id") == 0).count() == 7
+
+
+def test_jaccard_pairs(docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedupe.jaccard_candidate_pairs(
+            docs, n=3, threshold=0.5, max_shingle_df=None
+        ).collect()
+    }
+    # exact dups share all shingles; 0-2 share 6/8 = 0.75 ≥ 0.5
+    assert (0, 1) in pairs and (3, 5) in pairs and (0, 2) in pairs and (1, 2) in pairs
+    assert not any({a, b} & {3, 5} and {a, b} & {0, 1, 2} for a, b in pairs)
+
+
+def test_jaccard_hot_shingle_cap(spark):
+    # 20 docs sharing one hot shingle + unique remainder: cap kills the
+    # hot gram so no candidate pairs survive
+    rows = [(i, f"common shared gram unique{i} tail{i} end{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    with_cap = dedupe.jaccard_candidate_pairs(df, n=3, threshold=0.1, max_shingle_df=5)
+    without = dedupe.jaccard_candidate_pairs(df, n=3, threshold=0.1, max_shingle_df=None)
+    assert with_cap.count() == 0
+    assert without.count() > 0
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedupe.minhash_lsh_pairs(docs, n=3, num_hashes=64, bands=32).collect()
+    }
+    # exact dups always collide in every band
+    assert (0, 1) in pairs and (3, 5) in pairs
+    # near dup should collide in at least one of 32 bands (j=0.75)
+    assert (0, 2) in pairs or (1, 2) in pairs
+
+
+def test_minhash_signature_properties(docs):
+    sig = {r["id"]: r["sig"] for r in dedupe.minhash_signatures(docs, num_hashes=16).collect()}
+    assert sig[0] == sig[1]  # identical docs → identical signatures
+    assert sig[0] != sig[3]
+    agree = sum(a == b for a, b in zip(sig[0], sig[2])) / 16
+    assert agree >= 0.4  # E[agree] = jaccard ≈ 0.75
+
+
+def test_simhash(docs):
+    fp = {r["id"]: r["simhash"] for r in dedupe.simhash64(docs).collect()}
+    assert fp[0] == fp[1]
+    ham02 = bin((fp[0] ^ fp[2]) & (2**64 - 1)).count("1")
+    ham03 = bin((fp[0] ^ fp[3]) & (2**64 - 1)).count("1")
+    assert ham02 < ham03  # near dup closer than unrelated
+
+
+def test_simhash_near_pairs(docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedupe.simhash_near_pairs(docs, max_hamming=10).collect()
+    }
+    assert (0, 1) in pairs and (3, 5) in pairs

@@ -1,0 +1,80 @@
+"""Similarity search: brute-force cosine correctness + LSH recall."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from clinvar_ingest_spark.operators import similarity
+
+DIM = 16
+N = 200
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((N, DIM))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(N)]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]), vecs
+
+
+def _numpy_topk(vecs, qids, k=5):
+    out = {}
+    norms = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    for q in qids:
+        sims = norms @ norms[q]
+        order = sorted(
+            (i for i in range(len(vecs)) if i != q),
+            key=lambda i: (-sims[i], i),
+        )
+        out[q] = order[:k]
+    return out
+
+
+def test_bruteforce_matches_numpy(emb):
+    df, vecs = emb
+    queries = df.filter(F.col("vec_id") < 5)
+    got = similarity.cosine_topk_bruteforce(df, queries, k=5).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    want = _numpy_topk(vecs, range(5), k=5)
+    assert by_q == {q: want[q] for q in range(5)}
+
+
+def test_lsh_recall_reasonable(emb):
+    df, vecs = emb
+    queries = df.filter(F.col("vec_id") < 20)
+    exact = similarity.cosine_topk_bruteforce(df, queries, k=5).collect()
+    approx = similarity.lsh_bucket_topk(df, queries, dim=DIM, k=5, bits=2).collect()
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.3  # 2 bits → 4 buckets ≈ 25% corpus scanned
+    # every approx neighbor must share the query's bucket → sane scores
+    assert all(-1.0 <= r["cosine"] <= 1.0 for r in approx)
+
+
+def test_cosine_dup_pairs(spark):
+    base = np.ones(DIM)
+    rows = [
+        (0, [float(x) for x in base]),
+        (1, [float(x) for x in base * 2.0]),        # same direction → cos 1
+        (2, [float(x) for x in base + 0.01]),       # nearly same
+        (3, [float(x) for x in -base]),             # opposite
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_dup_pairs(df, dim=DIM, threshold=0.999, bits=4).collect()
+    }
+    assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_srp_sketch_deterministic(emb):
+    df, _ = emb
+    a = {r["vec_id"]: r["_bucket"] for r in similarity.srp_sketch(df, DIM, bits=6).collect()}
+    b = {r["vec_id"]: r["_bucket"] for r in similarity.srp_sketch(df, DIM, bits=6).collect()}
+    assert a == b
+    assert 0 <= min(a.values()) and max(a.values()) < 64
