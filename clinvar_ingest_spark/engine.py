@@ -69,8 +69,6 @@ class CdcEngine:
         stats = merge_apply(self.spark, self.table, batch, batch_id)
         wall = time.time() - t0
 
-        wm_row = batch.agg(F.max("warc_ts").alias("wm")).collect()[0]
-        watermark = wm_row["wm"].isoformat() if wm_row["wm"] is not None else None
         self.ledger.record(
             LineageRecord(
                 batch_id=batch_id,
@@ -82,9 +80,13 @@ class CdcEngine:
                 n_updates=stats.n_updates,
                 n_deletes=stats.n_deletes,
                 touched_buckets=stats.touched_buckets,
-                watermark=watermark,
+                watermark=stats.watermark,
                 wall_secs=round(wall, 4),
                 events_per_sec=round(stats.n_events / wall, 2) if wall > 0 else 0.0,
+                partitions=[
+                    {"bucket": b, "rows": r}
+                    for b, r in sorted(stats.bucket_rows.items())
+                ],
             )
         )
         return stats

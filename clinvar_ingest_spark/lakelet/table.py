@@ -238,6 +238,7 @@ class LakeletTable:
         touched_buckets: Sequence[int],
         batch_id: str,
         summary: dict | None = None,
+        stats_out: dict | None = None,
     ) -> str:
         """Copy-on-write commit: replace the files of ``touched_buckets``
         with ``new_bucket_data`` (must contain a ``_bucket`` column and
@@ -252,6 +253,8 @@ class LakeletTable:
         sid = snapshot_id_for(m.snapshot_id, batch_id, m.schema_version)
         if self.has_snapshot(sid):
             self._set_current(sid)
+            if stats_out is not None:
+                stats_out["skipped"] = True
             return sid
 
         cols = [c.name for c in m.columns]
@@ -282,6 +285,13 @@ class LakeletTable:
                     )
                 )
         _rmtree(staging)
+
+        if stats_out is not None:
+            stats_out["skipped"] = False
+            per_bucket: dict[int, int] = {}
+            for fe in new_entries:
+                per_bucket[fe.bucket] = per_bucket.get(fe.bucket, 0) + fe.rows
+            stats_out["bucket_rows"] = per_bucket
 
         touched = set(int(b) for b in touched_buckets)
         kept = [f for f in m.files if f.bucket not in touched]

@@ -29,9 +29,9 @@ partial aggregation is the skew absorber).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from clinvar_ingest_spark.functions.extract import extract_text_udf
@@ -49,6 +49,8 @@ class MergeStats:
     n_updates: int
     n_deletes: int
     touched_buckets: int
+    watermark: str | None = None  # max warc_ts seen in the batch (ISO)
+    bucket_rows: dict = field(default_factory=dict)  # per-bucket lineage
 
 
 def reduce_batch(batch: DataFrame) -> DataFrame:
@@ -72,100 +74,129 @@ def merge_apply(
     """Apply one micro-batch to the table; returns lineage stats.
 
     ``batch`` columns: seq, op, url, warc_ts, html, lang[, schema_ver].
+
+    Job shape (exactly TWO Spark jobs per micro-batch):
+
+    1. a tiny column-pruned distinct over the batch's bucket ids (plans
+       which snapshot files to read — manifest-level partition pruning);
+    2. the merge write itself, with every lineage metric (event count,
+       watermark, per-action counts) riding along as ``observe()``
+       CollectMetrics — no separate count/agg jobs, no persist of
+       intermediate state, and the extraction UDF runs exactly once.
     """
     m = table.manifest()
-    n_events = batch.count()
 
-    reduced = reduce_batch(batch).withColumn(
+    # job 1: touched buckets from batch keys only (no UDF, url col only)
+    touched = [
+        r["_b"]
+        for r in batch.select(bucket_expr("url", m.n_buckets).alias("_b"))
+        .distinct()
+        .collect()
+    ]
+
+    batch_obs = Observation()
+    observed = batch.observe(
+        batch_obs,
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("warc_ts").alias("watermark"),
+    )
+
+    reduced = reduce_batch(observed)
+    current = table.read(spark, buckets=touched)
+
+    # payload columns of the table schema; those also present in the
+    # batch come from the batch on insert/update, the rest carry over
+    # from the current row (post-evolution columns backfill as NULL
+    # on insert).
+    table_cols = [cs.name for cs in m.columns]
+    batch_payload = set(reduced.columns)
+
+    b = reduced.select(*[F.col(cn).alias(f"_b_{cn}") for cn in reduced.columns])
+    c = current.select(
+        *[F.col(cname).alias(f"_c_{cname}") for cname in current.columns]
+    )
+    j = b.join(c, b["_b_url"] == c["_c_url"], "full_outer")
+
+    batch_wins = F.col("_c_url").isNull() | (
+        F.struct(F.col("_b_warc_ts"), F.col("_b_seq"))
+        > F.struct(F.col("_c_warc_ts"), F.col("_c__seq"))
+    )
+    is_batch = F.col("_b_url").isNotNull()
+    is_delete = F.col("_b_op") == "delete"
+
+    action = (
+        F.when(~is_batch, F.lit("keep"))  # untouched key in touched bucket
+        .when(~batch_wins, F.lit("keep_late"))  # late event loses
+        .when(is_delete & F.col("_c_url").isNotNull(), F.lit("delete"))
+        .when(is_delete, F.lit("noop_delete"))  # delete of absent key
+        .when(F.col("_c_url").isNull(), F.lit("insert"))
+        .otherwise(F.lit("update"))
+    )
+    j = j.withColumn("_action", action)
+
+    merge_obs = Observation()
+
+    def n_act(a: str):
+        return F.sum(F.when(F.col("_action") == a, 1).otherwise(0)).alias(a)
+
+    j = j.observe(
+        merge_obs,
+        n_act("insert"),
+        n_act("update"),
+        n_act("delete"),
+        n_act("noop_delete"),
+        n_act("keep_late"),
+    )
+
+    survivors = j.filter(
+        F.col("_action").isin("keep", "keep_late", "insert", "update")
+    )
+    take_batch = F.col("_action").isin("insert", "update")
+
+    def out_col(name: str):
+        cur = F.col(f"_c_{name}")
+        if name == "_seq":
+            return F.when(take_batch, F.col("_b_seq")).otherwise(cur).alias(name)
+        if name in batch_payload:
+            return F.when(take_batch, F.col(f"_b_{name}")).otherwise(cur).alias(name)
+        return cur.alias(name)  # evolved column unknown to this batch
+
+    new_rows = survivors.select(*[out_col(cn) for cn in table_cols]).withColumn(
         "_bucket", bucket_expr("url", m.n_buckets)
     )
-    # cache: used for touched-bucket planning, the join, and lineage
-    reduced = reduced.persist()
-    try:
-        touched = [
-            r["_bucket"] for r in reduced.select("_bucket").distinct().collect()
-        ]
-        current = table.read(spark, buckets=touched)
 
-        # payload columns of the table schema; those also present in the
-        # batch come from the batch on insert/update, the rest carry over
-        # from the current row (post-evolution columns backfill as NULL
-        # on insert).
-        table_cols = [cs.name for cs in m.columns]
-        batch_payload = set(reduced.columns)
+    # job 2: the copy-on-write rewrite — observations fire with it
+    commit_stats: dict = {}
+    sid = table.commit_rewrite(
+        spark,
+        new_rows,
+        touched_buckets=touched,
+        batch_id=batch_id,
+        stats_out=commit_stats,
+    )
 
-        b = reduced.select(
-            *[F.col(cn).alias(f"_b_{cn}") for cn in reduced.columns]
-        )
-        c = current.select(
-            *[F.col(cname).alias(f"_c_{cname}") for cname in current.columns]
-        )
-        j = b.join(c, b["_b_url"] == c["_c_url"], "full_outer")
-
-        batch_wins = F.col("_c_url").isNull() | (
-            F.struct(F.col("_b_warc_ts"), F.col("_b_seq"))
-            > F.struct(F.col("_c_warc_ts"), F.col("_c__seq"))
-        )
-        is_batch = F.col("_b_url").isNotNull()
-        is_delete = F.col("_b_op") == "delete"
-
-        action = (
-            F.when(~is_batch, F.lit("keep"))  # untouched key in touched bucket
-            .when(~batch_wins, F.lit("keep_late"))  # late event loses
-            .when(is_delete & F.col("_c_url").isNotNull(), F.lit("delete"))
-            .when(is_delete, F.lit("noop_delete"))  # delete of absent key
-            .when(F.col("_c_url").isNull(), F.lit("insert"))
-            .otherwise(F.lit("update"))
-        )
-        j = j.withColumn("_action", action).persist()
-
-        counts = {
-            r["_action"]: r["n"]
-            for r in j.groupBy("_action").agg(F.count("*").alias("n")).collect()
-        }
-
-        survivors = j.filter(
-            F.col("_action").isin("keep", "keep_late", "insert", "update")
-        )
-        take_batch = F.col("_action").isin("insert", "update")
-
-        def out_col(name: str):
-            cur = F.col(f"_c_{name}")
-            if name == "_seq":
-                return F.when(take_batch, F.col("_b_seq")).otherwise(cur).alias(name)
-            if name == "text":
-                return F.when(take_batch, F.col("_b_text")).otherwise(cur).alias(name)
-            if name in batch_payload:
-                return F.when(take_batch, F.col(f"_b_{name}")).otherwise(cur).alias(name)
-            return cur.alias(name)  # evolved column unknown to this batch
-
-        new_rows = survivors.select(*[out_col(cn) for cn in table_cols]).withColumn(
-            "_bucket", bucket_expr("url", m.n_buckets)
-        )
-
-        sid = table.commit_rewrite(
-            spark,
-            new_rows,
-            touched_buckets=touched,
-            batch_id=batch_id,
-            summary={"last_batch_events": n_events},
-        )
+    if commit_stats.get("skipped"):
+        # crash-recovery path: manifest existed, no action ran — the
+        # observations never fired, so report a zero-stats no-op.
         return MergeStats(
-            batch_id=batch_id,
-            snapshot_id=sid,
-            n_events=n_events,
-            n_keys=sum(
-                counts.get(a, 0)
-                for a in ("insert", "update", "delete", "noop_delete", "keep_late")
-            ),
-            n_inserts=counts.get("insert", 0),
-            n_updates=counts.get("update", 0),
-            n_deletes=counts.get("delete", 0),
+            batch_id=batch_id, snapshot_id=sid, n_events=0, n_keys=0,
+            n_inserts=0, n_updates=0, n_deletes=0,
             touched_buckets=len(touched),
         )
-    finally:
-        reduced.unpersist()
-        try:
-            j.unpersist()
-        except Exception:
-            pass
+    bm = batch_obs.get
+    mm = merge_obs.get
+    counts = {k: int(mm.get(k) or 0) for k in
+              ("insert", "update", "delete", "noop_delete", "keep_late")}
+    wm = bm.get("watermark")
+    return MergeStats(
+        batch_id=batch_id,
+        snapshot_id=sid,
+        n_events=int(bm.get("n_events") or 0),
+        n_keys=sum(counts.values()),
+        n_inserts=counts["insert"],
+        n_updates=counts["update"],
+        n_deletes=counts["delete"],
+        touched_buckets=len(touched),
+        watermark=wm.isoformat() if wm is not None else None,
+        bucket_rows=commit_stats.get("bucket_rows", {}),
+    )
