@@ -137,8 +137,30 @@ class CdcEngine:
         self, old_snapshot: str, new_snapshot: str, null_safe: bool = True
     ) -> DataFrame:
         """created/updated/deleted rows between two snapshots
-        (reference: docker/diff/diff.py:117-182)."""
-        old = self.read(old_snapshot).drop("_seq")
+        (reference: docker/diff/diff.py:117-182).
+
+        The two snapshots may straddle schema-evolution commits: the old
+        side is aligned to the NEW snapshot's schema by col_id
+        name-mapping (renames follow, added columns backfill NULL,
+        widened columns cast) before classification — so a pure rename
+        never reports every row as updated.
+        """
+        from clinvar_ingest_spark.lakelet.table import _SPARK_TYPES
+
+        new_m = self.table.manifest(new_snapshot)
+        old_m = self.table.manifest(old_snapshot)
+        old = self.read(old_snapshot)
+        old_by_id = {c.col_id: c for c in old_m.columns}
+        sel = []
+        for tc in new_m.columns:
+            sc = old_by_id.get(tc.col_id)
+            if sc is None:
+                sel.append(F.lit(None).cast(_SPARK_TYPES[tc.type]).alias(tc.name))
+            elif sc.name != tc.name or sc.type != tc.type:
+                sel.append(F.col(sc.name).cast(_SPARK_TYPES[tc.type]).alias(tc.name))
+            else:
+                sel.append(F.col(tc.name))
+        old = old.select(*sel).drop("_seq")
         new = self.read(new_snapshot).drop("_seq")
         return diff_ops.diff_all(new, old, keys=[self.table.key_col], null_safe=null_safe)
 

@@ -107,3 +107,21 @@ def test_rename_then_continue_writing(spark, table):
     # evolved-version files present, all readable
     vers = {f.schema_version for f in table.manifest().files}
     assert 2 in vers and vers <= {1, 2}
+
+
+def test_diff_across_evolution_is_rename_insensitive(spark, table, tmp_path):
+    """diff_snapshots between snapshots that straddle a rename must map
+    columns by col_id — a pure rename is NOT an update (caught by the
+    /verify drive; reference diff compares same-named columns only
+    because its schema never renames, diff.py:59-69)."""
+    from clinvar_ingest_spark.engine import CdcEngine
+
+    eng = CdcEngine.__new__(CdcEngine)
+    eng.spark = spark
+    eng.table = table
+    pre = table.current_snapshot_id()
+    table.add_column("fetch_status", "int")
+    table.rename_column("lang", "language")
+    post = table.current_snapshot_id()
+    d = eng.diff_snapshots(pre, post)
+    assert d.count() == 0  # metadata-only commits: no row changed
