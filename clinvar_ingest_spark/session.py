@@ -26,7 +26,9 @@ def get_spark(
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (falls back to
     ``local[*]``) so the bench harness can run the identical job at two
     parallelism levels (the sandbox evidence for the N vs 4N executor
-    scaling rule).
+    scaling rule). Pass ``master="submit"`` to NOT set a master at all —
+    required under ``spark-submit``, where the cluster manager comes
+    from the submit command line (jobs/ entry points use this).
     """
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
@@ -34,9 +36,9 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = DEFAULT_SHUFFLE_PARTITIONS
 
+    builder = SparkSession.builder if master == "submit" else SparkSession.builder.master(master)
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1,0 +1,101 @@
+"""spark-submit entry point: apply a changelog to a lakelet pages table.
+
+Batch replay of closed changelog files, or a Structured-Streaming tail
+of a segment directory — the same MERGE-apply path either way (the
+reference's end-to-end release workflow,
+orchestration/templates/ingest-clinvar-release-e2e.yaml:24-64, as one
+submittable Spark job).
+
+Usage (cluster):
+
+    python tools/build_pyfiles.py   # -> dist/clinvar_ingest_spark.zip
+    spark-submit --py-files dist/clinvar_ingest_spark.zip \
+        jobs/cdc_apply.py --table /lake/pages --changelog /wal/batch42.parquet
+
+    spark-submit --py-files dist/clinvar_ingest_spark.zip \
+        jobs/cdc_apply.py --table /lake/pages \
+        --tail /wal/segments --checkpoint /lake/pages_ckpt
+
+Local smoke run (no spark-submit):
+
+    python jobs/cdc_apply.py --master 'local[8]' --table /tmp/pages \
+        --changelog /tmp/changelog.parquet
+
+Emits one JSON lineage line per applied micro-batch (the engine also
+persists them in the table's ledger).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from dataclasses import asdict
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__.split("\n", 1)[0])
+    p.add_argument("--table", required=True, help="lakelet table root")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--changelog", help="changelog parquet path/glob (batch replay)")
+    src.add_argument("--tail", help="changelog segment dir (streaming tail)")
+    p.add_argument("--checkpoint", help="stream checkpoint dir (required with --tail)")
+    p.add_argument("--batch-size", type=int, default=100_000,
+                   help="events per micro-batch in batch replay")
+    p.add_argument("--buckets", type=int, default=256,
+                   help="hash buckets when creating a new table")
+    p.add_argument("--max-files-per-trigger", type=int, default=8)
+    p.add_argument("--follow", action="store_true",
+                   help="with --tail: keep running instead of drain-and-stop")
+    p.add_argument("--master", default="submit",
+                   help="Spark master; default 'submit' defers to spark-submit")
+    args = p.parse_args(argv)
+    if args.tail and not args.checkpoint:
+        p.error("--tail requires --checkpoint")
+
+    from clinvar_ingest_spark.engine import CdcEngine
+    from clinvar_ingest_spark.session import get_spark
+
+    spark = get_spark(app_name="cdc_apply", master=args.master)
+    engine = CdcEngine(spark, args.table, n_buckets=args.buckets)
+
+    if args.changelog:
+        changelog = spark.read.parquet(args.changelog)
+        stats = engine.replay(changelog, batch_size=args.batch_size)
+        for s in stats:
+            print(json.dumps(asdict(s)))
+        print(json.dumps({
+            "table": args.table,
+            "snapshot": engine.table.current_snapshot_id(),
+            "rows": engine.pages().count(),
+            "batches_applied": len(stats),
+        }))
+    else:
+        from clinvar_ingest_spark.streaming.tail import (
+            tail_changelog,
+            tail_until_drained,
+        )
+
+        if args.follow:
+            q = tail_changelog(
+                engine, args.tail, args.checkpoint,
+                max_files_per_trigger=args.max_files_per_trigger,
+                available_now=False,
+            )
+            q.awaitTermination()
+        else:
+            tail_until_drained(
+                engine, args.tail, args.checkpoint,
+                max_files_per_trigger=args.max_files_per_trigger,
+            )
+            print(json.dumps({
+                "table": args.table,
+                "snapshot": engine.table.current_snapshot_id(),
+                "rows": engine.pages().count(),
+                "ledger_records": len(engine.ledger.all_records()),
+            }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
