@@ -170,6 +170,32 @@ def q_set_union_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_submitter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 parity (aggregateSubmitters, ArchiveBranches.scala:158-172):
+    latest record per key by date + sorted set-union of observed values."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", F.struct("ts", "event_id")).alias("last_event_type"),
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias(
+            "all_event_types"
+        ),
+        F.max("ts").alias("last_ts"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_latest_preceding_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1+W2 parity: latest-release top-1 (check.py:39-49) and
+    preceding-release lookup (get-preceding-release-date.sh:1-15)."""
+    ev = _t(spark, sf_dir, "events")
+    latest = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    return ev.agg(
+        F.max("ts").alias("latest_ts"),
+        F.max(F.when(F.col("ts") < F.lit(latest), F.col("ts"))).alias("preceding_ts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy(
@@ -214,6 +240,45 @@ def q_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
             ).alias("revenue_e4"),
             F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice") * F.col("l_discount"), 10000)
+            ).alias("revenue_e4"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way fact-dim join; dims are broadcast (small side)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
+            ).alias("revenue_e4"),
+            F.count("*").alias("n_items"),
         )
     )
 
@@ -299,6 +364,20 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----- weaker (rows-only) checks: non-SQL-expressible operators -----------
 
 
+def q_canonical_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4/F4 parity (canonical JSON, Content.scala:16-48): canonicalize
+    the raw props JSON (sorted keys/arrays, compact, empties dropped)
+    and fingerprint it. Rows-only: no portable canonical-JSON in SQL."""
+    from clinvar_ingest_spark.functions.canonical_json import canonical_json_udf
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        canonical_json_udf(F.col("props")).alias("props_canonical"),
+        F.sha2(canonical_json_udf(F.col("props")), 256).alias("props_fp"),
+    )
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clinvar_ingest_spark.operators.dedupe import minhash_lsh_pairs
 
@@ -359,9 +438,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_deleted": q_diff_deleted,
         "diff_updated": q_diff_updated,
         "set_union_event_types": q_set_union_event_types,
+        "submitter_agg": q_submitter_agg,
+        "latest_preceding_ts": q_latest_preceding_ts,
         "events_hourly": q_events_hourly,
         "tpch_q1": q_tpch_q1,
+        "tpch_q6": q_tpch_q6,
         "order_revenue": q_order_revenue,
+        "revenue_by_nation": q_revenue_by_nation,
         "dedup_exact": q_dedup_exact,
         "text_quality": q_text_quality,
         "fingerprint_docs": q_fingerprint_docs,
@@ -370,6 +453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "multimodal_meta": q_multimodal_meta,
         # rows-only (non-SQL-expressible):
+        "canonical_props": q_canonical_props,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_near_pairs": q_simhash_near_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -418,6 +502,31 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM events GROUP BY user_id
         """,
+        "submitter_agg": """
+            WITH latest AS (
+              SELECT user_id, event_type AS last_event_type FROM (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+              ) WHERE rn = 1
+            )
+            SELECT g.user_id,
+                   l.last_event_type,
+                   array_to_string(list_sort(list_distinct(list(g.event_type))), ',')
+                     AS all_event_types,
+                   max(g.ts) AS last_ts,
+                   count(*) AS n_events
+            FROM events g JOIN latest l USING (user_id)
+            GROUP BY g.user_id, l.last_event_type
+        """,
+        "latest_preceding_ts": """
+            SELECT max(ts) AS latest_ts,
+                   max(CASE WHEN ts < (SELECT max(ts) FROM events) THEN ts END)
+                     AS preceding_ts,
+                   count(*) AS n_rows
+            FROM events
+        """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour,
                    event_type,
@@ -435,6 +544,27 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q6": """
+            SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 10000, 0) AS BIGINT)) AS BIGINT)
+                     AS revenue_e4,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT)
+                     AS revenue_e4,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            GROUP BY n_name
         """,
         "order_revenue": """
             SELECT o_orderpriority,

@@ -44,15 +44,27 @@ class CdcEngine:
         spark: SparkSession,
         root: str,
         n_buckets: int = 16,
+        strategy: str = "cogroup",
     ):
+        """``strategy``: 'cogroup' (default; per-bucket applyInPandas,
+        2 shuffles/batch) or 'join' (full-outer-join formulation,
+        3 shuffles/batch, kept for A/B parity — both produce identical
+        table states and identical lineage)."""
+        if strategy not in ("cogroup", "join"):
+            raise ValueError(f"unknown merge strategy {strategy!r}")
         self.spark = spark
+        self.strategy = strategy
         self.table = LakeletTable.create(root, PAGES_COLUMNS, n_buckets=n_buckets)
         self.ledger = Ledger(self.table.ledger_dir)
 
     # ------------------------------------------------------------------ apply
 
     def apply_batch(
-        self, batch: DataFrame, first_seq: int, last_seq: int
+        self,
+        batch: DataFrame,
+        first_seq: int,
+        last_seq: int,
+        assume_all_buckets: bool = False,
     ) -> MergeStats | None:
         """Apply one micro-batch exactly once. Returns None on skip
         (already committed — the reference's short-circuit,
@@ -66,7 +78,17 @@ class CdcEngine:
             if rec and self.table.has_snapshot(rec["snapshot_id"]):
                 return None
         t0 = time.time()
-        stats = merge_apply(self.spark, self.table, batch, batch_id)
+        if self.strategy == "cogroup":
+            from clinvar_ingest_spark.operators.merge_cogroup import (
+                merge_apply_cogrouped,
+            )
+
+            stats = merge_apply_cogrouped(
+                self.spark, self.table, batch, batch_id,
+                assume_all_buckets=assume_all_buckets,
+            )
+        else:
+            stats = merge_apply(self.spark, self.table, batch, batch_id)
         wall = time.time() - t0
 
         self.ledger.record(
@@ -112,12 +134,15 @@ class CdcEngine:
         hi = int(bounds["hi"])
         out: list[MergeStats] = []
         start = lo - (lo % batch_size)
+        # events ≫ buckets ⇒ every bucket is statistically touched; skip
+        # the per-batch touched-buckets job (see merge_apply_cogrouped)
+        all_buckets = batch_size >= 50 * self.table.manifest().n_buckets
         for first in range(start, hi + 1, batch_size):
             last = first + batch_size - 1
             b = changelog.filter(
                 (F.col("seq") >= first) & (F.col("seq") <= last)
             )
-            stats = self.apply_batch(b, first, last)
+            stats = self.apply_batch(b, first, last, assume_all_buckets=all_buckets)
             if stats is not None:
                 out.append(stats)
         return out

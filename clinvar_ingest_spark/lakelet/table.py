@@ -239,6 +239,7 @@ class LakeletTable:
         batch_id: str,
         summary: dict | None = None,
         stats_out: dict | None = None,
+        pre_partitioned: bool = False,
     ) -> str:
         """Copy-on-write commit: replace the files of ``touched_buckets``
         with ``new_bucket_data`` (must contain a ``_bucket`` column and
@@ -259,31 +260,42 @@ class LakeletTable:
 
         cols = [c.name for c in m.columns]
         staging = os.path.join(self.root, f"_staging-{sid}")
+        to_write = new_bucket_data.select("_bucket", *cols)
+        if not pre_partitioned:
+            # co-locate each bucket into one task so partitionBy emits
+            # one file per bucket; cogrouped callers are already
+            # bucket-grouped and skip this shuffle entirely
+            to_write = to_write.repartition(max(len(touched_buckets), 1), "_bucket")
         (
-            new_bucket_data.select("_bucket", *cols)
-            .repartition(max(len(touched_buckets), 1), "_bucket")
-            .write.mode("overwrite")
+            to_write.write.mode("overwrite")
             .partitionBy("_bucket")
             .parquet(staging)
         )
 
         os.makedirs(self.data_dir, exist_ok=True)
-        new_entries: list[FileEntry] = []
+        promotions: list[tuple[str, str, int]] = []  # (src, rel, bucket)
         for bdir in sorted(glob.glob(os.path.join(staging, "_bucket=*"))):
             b = int(os.path.basename(bdir).split("=")[1])
             parts = sorted(glob.glob(os.path.join(bdir, "*.parquet")))
             for i, p in enumerate(parts):
-                rel = f"data/b{b:05d}-{sid}-{i}.parquet"
-                dst = os.path.join(self.root, rel)
-                os.replace(p, dst)
-                new_entries.append(
-                    FileEntry(
-                        path=rel,
-                        bucket=b,
-                        rows=_parquet_rows(dst),
-                        schema_version=m.schema_version,
-                    )
-                )
+                promotions.append((p, f"data/b{b:05d}-{sid}-{i}.parquet", b))
+
+        def promote(job: tuple[str, str, int]) -> FileEntry:
+            src, rel, b = job
+            dst = os.path.join(self.root, rel)
+            os.replace(src, dst)
+            return FileEntry(
+                path=rel, bucket=b, rows=_parquet_rows(dst),
+                schema_version=m.schema_version,
+            )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        if len(promotions) > 8:
+            with ThreadPoolExecutor(max_workers=8) as ex:
+                new_entries = list(ex.map(promote, promotions))
+        else:
+            new_entries = [promote(j) for j in promotions]
         _rmtree(staging)
 
         if stats_out is not None:

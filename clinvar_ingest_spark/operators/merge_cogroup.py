@@ -1,0 +1,230 @@
+"""Cogrouped per-bucket MERGE apply — the north-rule architecture:
+"per-partition last-writer-wins apply loop via applyInPandas".
+
+Plan shape (compare merge.py, the join-based formulation):
+
+    join-based:  batch --shuffle(url)--> LWW --\
+                 state --shuffle(url)----------join--shuffle(bucket)--write
+    cogrouped:   batch --shuffle(bucket)--\
+                 state --shuffle(bucket)---cogroup.applyInPandas--write
+
+One wide stage instead of three: LWW-reduce, snapshot diff/classify
+(reference docker/diff/diff.py:117-182 semantics), late-event guard,
+and Arrow-vectorized HTML→text extraction all happen in a single
+pandas function per bucket, and the output is already bucket-pure so
+the copy-on-write write needs NO further shuffle (files are laid out
+by ``partitionBy`` straight from the cogroup partitions).
+
+Scale notes: parallelism is bounded by n_buckets — size n_buckets ≫
+max executor cores (e.g. 4096 at 10^10 scale) so each shuffle
+partition holds a few whole buckets and stragglers average out. A hot
+URL concentrates in one bucket, but LWW collapses it to one row inside
+pandas (sort+tail, no quadratic work); a hot HOST spreads across
+buckets by url hash. Per-group memory = one bucket of state — bound it
+by choosing n_buckets ≥ |table| / target_partition_rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from clinvar_ingest_spark.functions.extract import extract_text_series
+from clinvar_ingest_spark.lakelet.table import (
+    LakeletTable,
+    bucket_expr,
+    spark_schema,
+)
+from clinvar_ingest_spark.operators.merge import MergeStats
+
+_ACTIONS = ("insert", "update", "delete", "noop_delete", "keep_late")
+
+
+def _merge_bucket_fn(table_cols: list[str], batch_cols: list[str]):
+    """Build the per-bucket pandas merge function.
+
+    ``table_cols`` — current table schema (includes ``_seq``);
+    ``batch_cols`` — changelog columns present in the batch.
+    Output: table_cols + ``_bucket`` + ``_action``; all classified rows
+    are emitted (delete/noop_delete tagged rows are filtered before the
+    write but counted by an ``observe`` above the filter).
+    """
+    batch_set = set(batch_cols)
+
+    def merge_bucket(bdf: pd.DataFrame, cdf: pd.DataFrame) -> pd.DataFrame:
+        out_cols = table_cols + ["_bucket", "_action"]
+        if len(bdf) == 0 and len(cdf) == 0:
+            return pd.DataFrame({c: [] for c in out_cols})
+
+        # --- LWW reduce: one winner per url by (warc_ts, seq) ---------
+        if len(bdf):
+            bdf = bdf.sort_values(["warc_ts", "seq"], kind="stable")
+            win = bdf.groupby("url", sort=False).tail(1)
+        else:
+            win = bdf
+        win = win.reset_index(drop=True)
+        cur = cdf.reset_index(drop=True)
+
+        m = pd.merge(
+            win.add_prefix("b_"),
+            cur.add_prefix("c_"),
+            left_on="b_url",
+            right_on="c_url",
+            how="outer",
+        )
+        in_batch = m["b_url"].notna()
+        in_cur = m["c_url"].notna()
+
+        # late-event guard: batch wins iff no current row or
+        # (warc_ts, seq) lexicographically greater
+        b_ts = m["b_warc_ts"]
+        c_ts = m["c_warc_ts"]
+        newer = (b_ts > c_ts) | ((b_ts == c_ts) & (m["b_seq"] > m["c__seq"]))
+        batch_wins = in_batch & (~in_cur | newer.fillna(False))
+
+        is_del = in_batch & (m["b_op"] == "delete")
+        action = np.full(len(m), "keep", dtype=object)
+        action[(in_batch & ~batch_wins).to_numpy()] = "keep_late"
+        action[(batch_wins & is_del & in_cur).to_numpy()] = "delete"
+        action[(batch_wins & is_del & ~in_cur).to_numpy()] = "noop_delete"
+        action[(batch_wins & ~is_del & ~in_cur).to_numpy()] = "insert"
+        action[(batch_wins & ~is_del & in_cur).to_numpy()] = "update"
+        take = np.isin(action, ("insert", "update"))
+
+        # --- extraction: once per surviving upsert only ----------------
+        text = m["c_text"].astype(object).copy()
+        if take.any():
+            text.iloc[take] = extract_text_series(m.loc[take, "b_html"]).to_numpy()
+
+        out = {}
+        for c in table_cols:
+            if c == "text":
+                out[c] = text
+                continue
+            cur_v = m[f"c_{c}"]
+            if c == "_seq":
+                out[c] = cur_v.where(~take, m["b_seq"])
+            elif c in batch_set:
+                out[c] = cur_v.where(~take, m[f"b_{c}"])
+            else:  # evolved column unknown to this batch
+                out[c] = cur_v
+        res = pd.DataFrame(out)
+        # arrow-boundary hygiene: NaN → None in object columns (binary/
+        # string types reject float NaN), integral lineage cols re-cast
+        res["_seq"] = pd.to_numeric(res["_seq"], errors="coerce").fillna(-1).astype("int64")
+        for c in res.columns:
+            if res[c].dtype == object:
+                res[c] = res[c].where(pd.notna(res[c]), None)
+        res["_bucket"] = (
+            m["b__bucket"].where(in_batch, m["c__bucket"]).astype("int64")
+        )
+        res["_action"] = action
+        return res
+
+    return merge_bucket
+
+
+def merge_apply_cogrouped(
+    spark: SparkSession,
+    table: LakeletTable,
+    batch: DataFrame,
+    batch_id: str,
+    assume_all_buckets: bool = False,
+) -> MergeStats:
+    """Apply one micro-batch via the cogrouped per-bucket plan.
+
+    Two Spark jobs, like merge.py: (1) tiny touched-buckets distinct,
+    (2) the cogroup+write with all lineage metrics observed in-flight.
+
+    ``assume_all_buckets=True`` skips job (1): correct for any batch
+    (untouched buckets just carry their state through the keep path),
+    and profitable when events ≫ n_buckets so every bucket is touched
+    anyway — the caller's replay loop knows its batch size and passes
+    the hint (large-batch mode trades a possible extra rewrite of
+    quiet buckets for one fewer job per batch).
+    """
+    m = table.manifest()
+
+    if assume_all_buckets:
+        touched = list(range(m.n_buckets))
+    else:
+        touched = [
+            r["_b"]
+            for r in batch.select(bucket_expr("url", m.n_buckets).alias("_b"))
+            .distinct()
+            .collect()
+        ]
+
+    batch_obs = Observation()
+    observed = batch.observe(
+        batch_obs,
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("warc_ts").alias("watermark"),
+    )
+    b = observed.withColumn("warc_ts", F.col("warc_ts").cast("timestamp")).withColumn(
+        "_bucket", bucket_expr("url", m.n_buckets)
+    )
+    current = table.read(spark, buckets=touched).withColumn(
+        "_bucket", bucket_expr("url", m.n_buckets)
+    )
+
+    table_cols = [cs.name for cs in m.columns]
+    out_schema = T.StructType(
+        spark_schema(m.columns).fields
+        + [
+            T.StructField("_bucket", T.LongType()),
+            T.StructField("_action", T.StringType()),
+        ]
+    )
+    fn = _merge_bucket_fn(table_cols, b.columns)
+    merged = (
+        b.groupBy("_bucket")
+        .cogroup(current.groupBy("_bucket"))
+        .applyInPandas(lambda left, right: fn(left, right), schema=out_schema)
+    )
+
+    merge_obs = Observation()
+
+    def n_act(a: str):
+        return F.sum(F.when(F.col("_action") == a, 1).otherwise(0)).alias(a)
+
+    merged = merged.observe(merge_obs, *[n_act(a) for a in _ACTIONS])
+    survivors = merged.filter(
+        ~F.col("_action").isin("delete", "noop_delete")
+    ).drop("_action")
+
+    commit_stats: dict = {}
+    sid = table.commit_rewrite(
+        spark,
+        survivors,
+        touched_buckets=touched,
+        batch_id=batch_id,
+        stats_out=commit_stats,
+        pre_partitioned=True,
+    )
+
+    if commit_stats.get("skipped"):
+        return MergeStats(
+            batch_id=batch_id, snapshot_id=sid, n_events=0, n_keys=0,
+            n_inserts=0, n_updates=0, n_deletes=0,
+            touched_buckets=len(touched),
+        )
+    bm = batch_obs.get
+    mm = merge_obs.get
+    counts = {k: int(mm.get(k) or 0) for k in _ACTIONS}
+    wm = bm.get("watermark")
+    return MergeStats(
+        batch_id=batch_id,
+        snapshot_id=sid,
+        n_events=int(bm.get("n_events") or 0),
+        n_keys=sum(counts.values()),
+        n_inserts=counts["insert"],
+        n_updates=counts["update"],
+        n_deletes=counts["delete"],
+        touched_buckets=len(touched),
+        watermark=wm.isoformat() if wm is not None else None,
+        bucket_rows=commit_stats.get("bucket_rows", {}),
+    )

@@ -14,6 +14,11 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
 
+_JAVA_OPTS = os.environ.get(
+    "SPARK_GRAFT_JAVA_OPTS",
+    "-XX:+UseParallelGC -XX:+DisableExplicitGC -XX:MaxDirectMemorySize=16g",
+)
+
 
 def get_spark(
     app_name: str = "clinvar_ingest_spark",
@@ -47,11 +52,26 @@ def get_spark(
         # parquet timestamp(us) without tz must read as TIMESTAMP (UTC
         # session), not TIMESTAMP_NTZ, so snapshot/changelog types align
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # CDC payloads are compute-dense per byte (zstd'd HTML expands
+        # ~20x, then regex extraction) — size scan splits by CPU cost,
+        # not bytes, or the pre-shuffle stage collapses to a handful of
+        # tasks and caps scaling. Raise for thin-payload deployments.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "2m"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # Throughput GC for batch work. DisableExplicitGC is load-bearing:
+        # Arrow/Netty direct-buffer reservation calls System.gc() under
+        # pressure, and with 32 concurrent tasks that degenerates into a
+        # full-GC storm (measured: reduce stage 784s GC / 81s CPU). The
+        # direct ceiling is raised instead so reservations never hit it.
+        .config("spark.driver.extraJavaOptions", _JAVA_OPTS)
+        .config("spark.executor.extraJavaOptions", _JAVA_OPTS)
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -62,6 +62,10 @@ class ChangelogSpec:
     duplicate_rate: float = 0.02
     seed: int = 42
     schema_ver: int = 1
+    #: words per page body — sizes the html payload (12 ≈ 0.4 KB pages
+    #: for fast unit tests; real Common-Crawl pages are KBs–100s of KB,
+    #: so benches use 100+ to keep per-event compute realistic).
+    words_per_page: int = 12
 
 
 def _render_html(urls: np.ndarray, bodies: list[str], langs: np.ndarray) -> list[bytes]:
@@ -77,9 +81,34 @@ def _render_html(urls: np.ndarray, bodies: list[str], langs: np.ndarray) -> list
     ]
 
 
-def generate_changelog(spec: ChangelogSpec | None = None, **kw) -> pd.DataFrame:
-    """Generate the event stream as a pandas DataFrame ordered by ``seq``."""
-    spec = spec or ChangelogSpec(**kw)
+_M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SplitMix64 — counter-based determinism for payload
+    words, independent of chunking (event i, word j always hash alike)."""
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & _M64
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & _M64
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & _M64
+    return x ^ (x >> np.uint64(31))
+
+
+def _body_word_ix(seed: int, ev_index: np.ndarray, words_per_page: int) -> np.ndarray:
+    """(len(ev_index), words_per_page) word indices, pure function of
+    (seed, original event index, word position)."""
+    i = ev_index.astype(np.uint64)[:, None]
+    j = np.arange(words_per_page, dtype=np.uint64)[None, :]
+    h = _splitmix64(i * np.uint64(0x100000001B3) + j + np.uint64(seed) * np.uint64(0x9E37))
+    return (h % np.uint64(len(_WORDS))).astype(np.int64)
+
+
+def _generate_meta(spec: ChangelogSpec) -> dict:
+    """Everything except html rendering — small arrays only.
+
+    Returns the dup-expanded, seq-sorted event stream as parallel numpy
+    arrays plus ``ev_index`` (the original event id each row derives
+    from; duplicates share it, so re-rendered payloads are verbatim).
+    """
     rng = np.random.default_rng(spec.seed)
 
     # --- url universe with Zipf host skew -------------------------------
@@ -135,36 +164,84 @@ def generate_changelog(spec: ChangelogSpec | None = None, **kw) -> pd.DataFrame:
     ts_us = base_us - np.where(late, jitter, 0)
     warc_ts = _EPOCH + ts_us.astype("timedelta64[us]")
 
-    # --- payloads --------------------------------------------------------
+    # --- light payload attrs --------------------------------------------
     ev_urls = urls[key_idx]
     langs = LANGS[rng.integers(0, len(LANGS), size=n)]
-    word_ix = rng.integers(0, len(_WORDS), size=(n, 12))
+
+    # --- duplicate re-delivery (same seq, verbatim) ----------------------
+    ev_index = np.arange(n, dtype=np.int64)
+    if spec.duplicate_rate > 0:
+        dup_mask = rng.random(n) < spec.duplicate_rate
+        ev_index = np.concatenate([ev_index, ev_index[dup_mask]])
+        order = np.argsort(ev_index, kind="stable")
+        ev_index = ev_index[order]
+
+    return {
+        "ev_index": ev_index,  # original event id per output row
+        "seq": ev_index,  # seq == original event id (dups share it)
+        "op": ops,
+        "url": ev_urls,
+        "warc_ts": warc_ts,
+        "lang": langs,
+    }
+
+
+def _render_rows(spec: ChangelogSpec, meta: dict, lo: int, hi: int) -> pd.DataFrame:
+    """Materialize output rows [lo, hi) of the expanded stream."""
+    ix = meta["ev_index"][lo:hi]
+    ops = meta["op"][ix]
+    ev_urls = meta["url"][ix]
+    langs = meta["lang"][ix]
+    word_ix = _body_word_ix(spec.seed, ix, spec.words_per_page)
     bodies = [" ".join(_WORDS[row]) for row in word_ix]
     html = _render_html(ev_urls, bodies, langs)
-
     df = pd.DataFrame(
         {
-            "seq": np.arange(n, dtype=np.int64),
+            "seq": meta["seq"][lo:hi],
             "op": ops,
             "url": ev_urls,
-            "warc_ts": warc_ts,
+            "warc_ts": meta["warc_ts"][ix],
             "html": html,
             "lang": langs,
-            "schema_ver": np.full(n, spec.schema_ver, dtype=np.int32),
+            "schema_ver": np.full(hi - lo, spec.schema_ver, dtype=np.int32),
         }
     )
     # delete events carry no payload (FIXTURES.md §2)
     is_del = df["op"] == "delete"
     df.loc[is_del, "html"] = None
     df.loc[is_del, "lang"] = None
-
-    # --- duplicate re-delivery (same seq, verbatim) ----------------------
-    if spec.duplicate_rate > 0:
-        dup_mask = rng.random(n) < spec.duplicate_rate
-        dups = df[dup_mask]
-        df = pd.concat([df, dups], ignore_index=True)
-        df = df.sort_values(["seq"], kind="stable").reset_index(drop=True)
     return df
+
+
+def generate_changelog(spec: ChangelogSpec | None = None, **kw) -> pd.DataFrame:
+    """Generate the event stream as a pandas DataFrame ordered by ``seq``."""
+    spec = spec or ChangelogSpec(**kw)
+    meta = _generate_meta(spec)
+    return _render_rows(spec, meta, 0, len(meta["ev_index"]))
+
+
+def generate_changelog_to_parquet(
+    spec: ChangelogSpec, path: str, chunk_rows: int = 100_000
+) -> int:
+    """Stream-generate a big changelog straight to parquet with bounded
+    memory (html payloads are rendered per chunk, never all at once).
+    Byte-identical to ``generate_changelog`` + ``write_changelog_parquet``
+    for the same spec. Returns the number of rows written."""
+    meta = _generate_meta(spec)
+    total = len(meta["ev_index"])
+    writer = pq.ParquetWriter(path, changelog_arrow_schema(), compression="zstd")
+    try:
+        for lo in range(0, total, chunk_rows):
+            hi = min(lo + chunk_rows, total)
+            chunk = _render_rows(spec, meta, lo, hi)
+            table = pa.Table.from_pandas(
+                chunk, schema=changelog_arrow_schema(), preserve_index=False
+            )
+            for rg_lo in range(0, len(table), 8192):
+                writer.write_table(table.slice(rg_lo, 8192))
+    finally:
+        writer.close()
+    return total
 
 
 def changelog_arrow_schema() -> pa.Schema:
@@ -183,7 +260,11 @@ def changelog_arrow_schema() -> pa.Schema:
 
 def write_changelog_parquet(df: pd.DataFrame, path: str) -> None:
     table = pa.Table.from_pandas(df, schema=changelog_arrow_schema(), preserve_index=False)
-    pq.write_table(table, path, compression="zstd")
+    # Bounded row groups: parquet files split at row-group boundaries,
+    # so a single segment file must contain many groups or every
+    # pre-shuffle Spark stage collapses to ONE task no matter how many
+    # executors exist (scan parallelism = splittability, not cores).
+    pq.write_table(table, path, compression="zstd", row_group_size=8192)
 
 
 def read_changelog(spark, path: str):

@@ -1,0 +1,135 @@
+"""North-rule scaling evidence: the IDENTICAL MERGE-apply job at two
+parallelism levels (local[N] vs local[4N]) on the SAME on-disk input.
+
+Efficiency = (events_per_sec@4N / events_per_sec@N) / 4, target >= 0.8.
+
+Each level runs in its own subprocess (fresh JVM) so nothing warm leaks
+between levels. The input changelog is generated once (seeded) and
+reused by both. Results go to stdout and BENCH_SCALING.json.
+
+Usage: python tools/scaling_bench.py [--events 1200000] [--n 8] [--xn 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUNNER = r"""
+import json, os, shutil, sys, time
+sys.path.insert(0, {repo!r})
+from clinvar_ingest_spark.session import get_spark
+from clinvar_ingest_spark.engine import CdcEngine
+
+cores = int(sys.argv[1]); changelog = sys.argv[2]; workdir = sys.argv[3]
+batches = int(sys.argv[4])
+spark = get_spark(app_name=f"scaling_{{cores}}", master=f"local[{{cores}}]")
+cl = spark.read.parquet(changelog)
+bounds = cl.selectExpr("min(seq) lo", "max(seq) hi").collect()[0]
+n = int(bounds["hi"]) - int(bounds["lo"]) + 1
+# JVM/codegen/python-worker warmup outside the timed region, through the
+# same code path (small table thrown away afterwards)
+warm = CdcEngine(spark, os.path.join(workdir, f"warm{{cores}}_{{os.getpid()}}"), n_buckets=32)
+warm.replay(cl.limit(2000), batch_size=2000)
+shutil.rmtree(os.path.join(workdir, f"warm{{cores}}_{{os.getpid()}}"), ignore_errors=True)
+
+tdir = os.path.join(workdir, f"pages{{cores}}_{{os.getpid()}}")
+eng = CdcEngine(spark, tdir, n_buckets=32)
+t0 = time.time()
+stats = eng.replay(cl, batch_size=max(n // batches, 1))
+wall = time.time() - t0
+events = sum(s.n_events for s in stats)
+print(json.dumps({{"cores": cores, "events": events, "sec": round(wall, 3),
+                  "events_per_sec": round(events / wall, 1),
+                  "rows": eng.pages().count(),
+                  "state_hash": eng.state_hash()}}))
+shutil.rmtree(tdir, ignore_errors=True)
+"""
+
+
+def run_level(cores: int, changelog: str, workdir: str, batches: int) -> dict:
+    script = RUNNER.format(repo=REPO)
+    out = subprocess.run(
+        [sys.executable, "-c", script, str(cores), changelog, workdir, str(batches)],
+        capture_output=True, text=True, timeout=3600,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(f"level {cores} failed:\n{out.stderr[-3000:]}")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", type=int, default=1_000_000)
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--xn", type=int, default=32)
+    ap.add_argument("--batches", type=int, default=2)
+    ap.add_argument(
+        "--words", type=int, default=200,
+        help="words per page: sizes per-event compute to realistic "
+             "Common-Crawl page weight (unit tests use tiny 12-word pages)",
+    )
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SCALING.json"))
+    ap.add_argument("--repeats", type=int, default=2,
+                    help="best-of-k per level, interleaved N/4N to decorrelate host noise")
+    ap.add_argument("--changelog", default=None,
+                    help="reuse an existing changelog parquet instead of generating")
+    args = ap.parse_args()
+
+    sys.path.insert(0, REPO)
+    from clinvar_ingest_spark.sources.changelog import (
+        ChangelogSpec,
+        generate_changelog_to_parquet,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="scaling_bench_")
+    if args.changelog:
+        clp = args.changelog
+    else:
+        clp = os.path.join(workdir, "changelog.parquet")
+        print(f"generating {args.events} events -> {clp}", file=sys.stderr)
+        generate_changelog_to_parquet(
+            ChangelogSpec(
+                n_events=args.events,
+                n_urls=max(args.events // 6, 1000),
+                n_hosts=100,
+                seed=42,
+                words_per_page=args.words,
+            ),
+            clp,
+        )
+
+    runs_n, runs_xn = [], []
+    for rep in range(args.repeats):
+        runs_n.append(run_level(args.n, clp, workdir, args.batches))
+        runs_xn.append(run_level(args.xn, clp, workdir, args.batches))
+        print(f"rep {rep}: N={runs_n[-1]['events_per_sec']} "
+              f"4N={runs_xn[-1]['events_per_sec']} ev/s", file=sys.stderr)
+    r_n = max(runs_n, key=lambda r: r["events_per_sec"])
+    r_xn = max(runs_xn, key=lambda r: r["events_per_sec"])
+    assert r_n["state_hash"] == r_xn["state_hash"], "levels diverged!"
+    eff = (r_xn["events_per_sec"] / r_n["events_per_sec"]) / (args.xn / args.n)
+    result = {
+        "metric": "merge_apply_scaling_efficiency",
+        "input_events": args.events,
+        "levels": {f"local[{args.n}]": r_n, f"local[{args.xn}]": r_xn},
+        "all_runs": {f"local[{args.n}]": [r["events_per_sec"] for r in runs_n],
+                     f"local[{args.xn}]": [r["events_per_sec"] for r in runs_xn]},
+        "efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+        "state_hash_identical": True,
+    }
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
