@@ -77,6 +77,24 @@ class CdcEngine:
             rec = self.ledger.get(batch_id)
             if rec and self.table.has_snapshot(rec["snapshot_id"]):
                 return None
+        cur = self.table.manifest()
+        if cur.batch_id == batch_id:
+            # crash after manifest commit, before ledger append (the
+            # reference's file-ingested-but-row-missing case,
+            # ingest-xml-archive.yaml:206-294): the table already holds
+            # this batch — repair the ledger, never re-merge.
+            self.ledger.record(
+                LineageRecord(
+                    batch_id=batch_id,
+                    snapshot_id=cur.snapshot_id,
+                    first_seq=first_seq,
+                    last_seq=last_seq,
+                    n_events=0, n_inserts=0, n_updates=0, n_deletes=0,
+                    touched_buckets=0, watermark=None,
+                    wall_secs=0.0, events_per_sec=0.0,
+                )
+            )
+            return None
         t0 = time.time()
         if self.strategy == "cogroup":
             from clinvar_ingest_spark.operators.merge_cogroup import (

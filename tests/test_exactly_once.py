@@ -90,3 +90,33 @@ def test_duplicate_events_in_stream_are_absorbed(spark, tmp_path):
     e2 = CdcEngine(spark, str(tmp_path / "t_dup"), n_buckets=8)
     e2.replay(spark.read.parquet(paths[1]), batch_size=400)
     assert e1.state_hash() == e2.state_hash()
+
+
+def test_crash_between_manifest_and_ledger_self_heals(
+    spark, changelog_df, tmp_table_root
+):
+    """Reference rationale: 'might have ingested a file and then failed
+    to ingest the row' (ingest-xml-archive.yaml:206-294) — our analogue
+    is a crash after the manifest commit but before the ledger append.
+    Re-applying must detect the existing snapshot, skip the rewrite,
+    repair the ledger, and leave the state untouched."""
+    import os
+
+    eng = CdcEngine(spark, tmp_table_root, n_buckets=8)
+    eng.replay(changelog_df, batch_size=1000)
+    h = eng.state_hash()
+    snapshots = eng.table.history()
+
+    # simulate the crash: drop the LAST batch's ledger record
+    last = eng.ledger.all_records()[-1]
+    os.remove(os.path.join(eng.table.ledger_dir, f"{last['batch_id']}.json"))
+
+    eng2 = CdcEngine(spark, tmp_table_root, n_buckets=8)
+    assert eng2.ledger.last_applied_seq() < last["last_seq"]
+    stats = eng2.replay(changelog_df, batch_size=1000)
+    # the damaged batch is recognized from the manifest chain: no
+    # re-merge, no new snapshot, ledger repaired in place
+    assert stats == []
+    assert eng2.state_hash() == h
+    assert eng2.table.history() == snapshots
+    assert eng2.ledger.is_committed(last["batch_id"])  # ledger repaired
