@@ -400,6 +400,17 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(emb, queries, dim=64, k=5, bits=4)
 
 
+def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via SRP-LSH bucketing (approx —
+    candidate set is bucket collisions, so rows-only check)."""
+    from clinvar_ingest_spark.operators.similarity import cosine_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return cosine_dup_pairs(emb, dim=64, threshold=0.9, bits=6)
+
+
 def q_cdc_replay_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full engine path on a deterministic synthetic changelog: replay →
     snapshot table → live pages (non-SQL: stateful multi-batch apply)."""
@@ -457,6 +468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_near_pairs": q_simhash_near_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
         "cdc_replay_pages": q_cdc_replay_pages,
     }
 

@@ -62,22 +62,20 @@ def bench_cdc_replay(spark, sf: float, workdir: str) -> dict:
     from clinvar_ingest_spark.engine import CdcEngine
     from clinvar_ingest_spark.sources.changelog import (
         ChangelogSpec,
-        generate_changelog,
-        write_changelog_parquet,
+        generate_changelog_to_parquet,
     )
 
     n_events = max(int(1_500_000 * sf), 20_000)  # sf0.1 → 150k events
     clp = os.path.join(workdir, "changelog.parquet")
-    write_changelog_parquet(
-        generate_changelog(
-            ChangelogSpec(
-                n_events=n_events, n_urls=max(n_events // 6, 1000), n_hosts=100, seed=42
-            )
+    generate_changelog_to_parquet(
+        ChangelogSpec(
+            n_events=n_events, n_urls=max(n_events // 6, 1000), n_hosts=100,
+            seed=42, words_per_page=80,  # ~0.7 KB pages: realistic-ish decode cost
         ),
         clp,
     )
     cl = spark.read.parquet(clp)
-    eng = CdcEngine(spark, os.path.join(workdir, "pages"), n_buckets=32)
+    eng = CdcEngine(spark, os.path.join(workdir, "pages"), n_buckets=64)
     t0 = time.time()
     stats = eng.replay(cl, batch_size=max(n_events // 4, 1))
     wall = time.time() - t0

@@ -75,6 +75,8 @@ def _render_html(urls: np.ndarray, bodies: list[str], langs: np.ndarray) -> list
             f'<html lang="{lang}"><head><title>{u}</title>'
             f"<script>var x=1;</script><style>p{{color:red}}</style></head>"
             f"<body><!-- gen --><h1>{u}</h1><p>{body}</p>"
+            f'<p><a href="{u}?ref=self">self</a> '
+            f'<a href="https://index.example.org/{lang}">index</a></p>'
             f"<div>footer &amp; links</div></body></html>"
         ).encode("utf-8")
         for u, body, lang in zip(urls, bodies, langs)
