@@ -236,6 +236,26 @@ class CdcEngine:
         atomic_write_json(os.path.join(out_dir, "_notify.json"), msg)
         return msg
 
+    # ---------------------------------------------------------------- lineage
+
+    def lineage(self) -> DataFrame:
+        """Per-micro-batch lineage/metrics ledger as a DataFrame — the
+        queryable analogue of the reference's processing_history table
+        (README.md:30-41) + Kafka notify payloads
+        (notify-clingen-kafka.py:17-48): batch_id, snapshot_id, offsets,
+        action counts, watermark, events/sec, per-bucket row counts."""
+        recs = self.ledger.all_records()
+        import json as _json
+
+        flat = [
+            {**{k: v for k, v in r.items() if k != "partitions"},
+             "partitions_json": _json.dumps(r.get("partitions", []))}
+            for r in recs
+        ]
+        if not flat:
+            return self.spark.createDataFrame([], schema="batch_id string")
+        return self.spark.createDataFrame(flat)
+
     # ------------------------------------------------------------- state hash
 
     def state_hash(self, snapshot_id: str | None = None) -> str:

@@ -120,3 +120,16 @@ def test_crash_between_manifest_and_ledger_self_heals(
     assert eng2.state_hash() == h
     assert eng2.table.history() == snapshots
     assert eng2.ledger.is_committed(last["batch_id"])  # ledger repaired
+
+
+def test_lineage_dataframe(spark, changelog_df, tmp_table_root):
+    eng = CdcEngine(spark, tmp_table_root, n_buckets=8)
+    eng.replay(changelog_df, batch_size=1000)
+    ldf = eng.lineage()
+    rows = {r["batch_id"]: r for r in ldf.collect()}
+    assert len(rows) == 2
+    r = next(iter(rows.values()))
+    for field in ("snapshot_id", "first_seq", "last_seq", "n_events",
+                  "n_inserts", "watermark", "events_per_sec", "partitions_json"):
+        assert field in r.asDict()
+    assert sum(x["n_events"] for x in rows.values()) == changelog_df.count()
