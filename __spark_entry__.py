@@ -332,6 +332,33 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("lang_pred", pred)
 
 
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex (letter runs / digit
+    runs / single symbols)."""
+    from clinvar_ingest_spark.functions.text import bpe_token_count, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws_tokens"),
+        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting via rolling window hashes (rows-only)."""
+    from clinvar_ingest_spark.functions.text import rolling_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(rolling_fingerprints(F.col("text"))).alias("n_windows"),
+        F.size(F.array_distinct(rolling_fingerprints(F.col("text")))).alias(
+            "n_distinct_windows"
+        ),
+    )
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clinvar_ingest_spark.operators.dedupe import jaccard_candidate_pairs
 
@@ -408,7 +435,9 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
-    return cosine_dup_pairs(emb, dim=64, threshold=0.9, bits=6)
+    # 0.3 on random unit vectors ⇒ a small, non-empty near-dup set
+    # (real corpora would use ~0.9+)
+    return cosine_dup_pairs(emb, dim=64, threshold=0.3, bits=6)
 
 
 def q_cdc_replay_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -460,11 +489,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "fingerprint_docs": q_fingerprint_docs,
         "lang_id": q_lang_id,
+        "token_stats": q_token_stats,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ann_topk": q_ann_topk,
         "multimodal_meta": q_multimodal_meta,
         # rows-only (non-SQL-expressible):
         "canonical_props": q_canonical_props,
+        "rolling_fingerprints": q_rolling_fingerprints,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_near_pairs": q_simhash_near_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -608,6 +639,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(text) AS fp_md5 FROM documents
         """,
         "lang_id": _LANG_ID_SQL,
+        "token_stats": r"""
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END
+                     AS n_ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                     AS n_bpe_tokens
+            FROM documents
+        """,
         "ngram_jaccard_pairs": r"""
             WITH g AS (
               SELECT doc_id,
