@@ -1,0 +1,112 @@
+"""Custom stateful streaming operator: per-url LWW state via
+``applyInPandasWithState``.
+
+An alternative, state-store-backed materialization of the engine's LWW
+semantics (ArchiveBranches.scala:140-156 + diff-apply): each url group
+keeps (warc_ts, seq, op, lang) in Spark's state store; every micro-batch
+emits the url's new winner iff it changed. This is what a push-style
+downstream (the reference's Kafka consumer) would subscribe to, while
+the lakelet table remains the pull-style snapshot source of truth.
+
+Deletes emit with ``live = false`` (soft-delete notification), matching
+the diff-export contract (docker/diff/diff.py:138-141).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("warc_ts_us", T.LongType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("live", T.BooleanType()),
+    ]
+)
+
+
+def _lww_update(
+    key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (url,) = key
+    if state.exists:
+        ts_us, seq, op, lang = state.get
+    else:
+        ts_us, seq, op, lang = -1, -1, None, None
+
+    changed = False
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["warc_ts", "seq"], kind="stable")
+        last = pdf.iloc[-1]
+        l_us = int(last["warc_ts"].value // 1000)  # ns → µs
+        if (l_us, int(last["seq"])) > (ts_us, seq):
+            ts_us, seq = l_us, int(last["seq"])
+            op = last["op"]
+            lang = last["lang"] if last["lang"] is not None else None
+            changed = True
+
+    if changed:
+        state.update((ts_us, seq, op, lang))
+        yield pd.DataFrame(
+            {
+                "url": [url],
+                "warc_ts": [pd.Timestamp(ts_us * 1000)],
+                "seq": [seq],
+                "lang": [lang],
+                "live": [op != "delete"],
+            }
+        )
+
+
+def streaming_lww_state(stream: DataFrame) -> DataFrame:
+    """Changelog stream → per-url LWW change feed (update semantics)."""
+    return (
+        stream.groupBy("url")
+        .applyInPandasWithState(
+            _lww_update,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_lww_feed(
+    spark,
+    changelog_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "lww_feed",
+    available_now: bool = True,
+):
+    """Tail segments → LWW change feed → in-memory sink (tests/demo);
+    swap the sink for Kafka/parquet in production."""
+    from clinvar_ingest_spark.streaming.tail import CHANGELOG_SCHEMA
+
+    stream = spark.readStream.schema(CHANGELOG_SCHEMA).parquet(changelog_dir)
+    feed = streaming_lww_state(stream)
+    writer = (
+        feed.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
