@@ -1,0 +1,143 @@
+"""Table maintenance: re-bucketing and snapshot expiry.
+
+Iceberg-parity lifecycle ops the reference delegates to TDR/BigQuery
+(staging-table TTL, docker/diff/diff.py:47-48; dataset lifetime mgmt,
+diff.py:41-56):
+
+- :func:`rebucket` — rewrite the table under a new bucket count. The
+  COW design keeps exactly one file per bucket (each touched bucket is
+  fully replaced per commit), so classic small-file compaction never
+  applies; what *does* degrade over time is bucket SIZE as the keyspace
+  grows — parallelism and rewrite amplification are both bounded by
+  n_buckets, so a 10^10-row table periodically doubles it. Time travel
+  across the boundary works because every manifest pins its own
+  n_buckets (readers and pruners consult the snapshot's value, never a
+  global).
+- :func:`expire_snapshots` — drop manifests beyond the retention cut,
+  then delete data files referenced only by expired snapshots.
+  Two-phase and crash-safe: manifests go first (atomic per-file), then
+  unreferenced data — a crash in between leaves harmless orphans the
+  next sweep removes.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import SparkSession
+
+from clinvar_ingest_spark.lakelet.manifest import (
+    FileEntry,
+    Manifest,
+    read_json,
+    snapshot_id_for,
+)
+from clinvar_ingest_spark.lakelet.table import (
+    LakeletTable,
+    bucket_expr,
+    _parquet_rows,
+)
+
+
+def rebucket(
+    spark: SparkSession,
+    table: LakeletTable,
+    new_n_buckets: int,
+) -> str:
+    """Rewrite the full table under ``new_n_buckets`` hash buckets as a
+    logically-empty commit (state hash unchanged). Returns the new
+    snapshot id; idempotent by deterministic id."""
+    m = table.manifest()
+    if new_n_buckets == m.n_buckets:
+        return m.snapshot_id
+    batch_id = f"rebucket:{m.n_buckets}->{new_n_buckets}:{m.snapshot_id}"
+    sid = snapshot_id_for(m.snapshot_id, batch_id, m.schema_version)
+    if table.has_snapshot(sid):
+        table._set_current(sid)
+        return sid
+
+    cols = [c.name for c in m.columns]
+    df = table.read(spark).withColumn(
+        "_bucket", bucket_expr(table.key_col, new_n_buckets)
+    )
+    staging = os.path.join(table.root, f"_staging-{sid}")
+    (
+        df.select("_bucket", *cols)
+        .repartition(new_n_buckets, "_bucket")
+        .write.mode("overwrite")
+        .partitionBy("_bucket")
+        .parquet(staging)
+    )
+
+    os.makedirs(table.data_dir, exist_ok=True)
+    new_entries: list[FileEntry] = []
+    for bdir in sorted(glob.glob(os.path.join(staging, "_bucket=*"))):
+        b = int(os.path.basename(bdir).split("=")[1])
+        for i, p in enumerate(sorted(glob.glob(os.path.join(bdir, "*.parquet")))):
+            rel = f"data/b{b:05d}-{sid}-{i}.parquet"
+            os.replace(p, os.path.join(table.root, rel))
+            new_entries.append(
+                FileEntry(
+                    path=rel, bucket=b,
+                    rows=_parquet_rows(os.path.join(table.root, rel)),
+                    schema_version=m.schema_version,
+                )
+            )
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+
+    summary = dict(m.summary)
+    summary["total_rows"] = sum(f.rows for f in new_entries)
+    nm = Manifest(
+        snapshot_id=sid,
+        parent_id=m.snapshot_id,
+        batch_id=batch_id,
+        schema_version=m.schema_version,
+        n_buckets=new_n_buckets,
+        schemas=m.schemas,
+        files=new_entries,
+        summary=summary,
+    )
+    table._write_manifest(nm)
+    table._set_current(sid)
+    return sid
+
+
+def expire_snapshots(table: LakeletTable, keep_last: int = 3) -> dict:
+    """Expire all but the last ``keep_last`` snapshots of the current
+    chain, then garbage-collect data files no surviving manifest
+    references. Returns {'expired': [...], 'deleted_files': n}."""
+    chain = table.history()  # oldest readable .. current
+    keep = set(chain[-keep_last:]) if keep_last > 0 else {chain[-1]}
+
+    expired = []
+    for p in glob.glob(os.path.join(table.manifest_dir, "*.json")):
+        name = os.path.basename(p)
+        if name == "_current.json":
+            continue
+        sid = name[:-5]
+        if sid not in keep:
+            expired.append(sid)
+
+    # phase 1: remove expired manifests (each removal atomic)
+    for sid in expired:
+        os.unlink(os.path.join(table.manifest_dir, f"{sid}.json"))
+
+    # phase 2: delete data files referenced by NO surviving manifest
+    live_files: set[str] = set()
+    for p in glob.glob(os.path.join(table.manifest_dir, "*.json")):
+        if os.path.basename(p) == "_current.json":
+            continue
+        man = Manifest.from_json(read_json(p))
+        live_files.update(f.path for f in man.files)
+
+    deleted = 0
+    for p in glob.glob(os.path.join(table.data_dir, "*.parquet")):
+        rel = os.path.relpath(p, table.root)
+        if rel not in live_files:
+            os.unlink(p)
+            deleted += 1
+
+    return {"expired": sorted(expired), "deleted_files": deleted}

@@ -153,10 +153,12 @@ class LakeletTable:
         return os.path.exists(self._manifest_path(snapshot_id))
 
     def history(self) -> list[str]:
-        """Snapshot ids from genesis to current (lineage chain)."""
+        """Snapshot ids from the oldest readable ancestor to current.
+        After ``expire_snapshots`` the chain starts at the oldest
+        surviving manifest (expired parents are unreachable)."""
         chain = []
         sid = self.current_snapshot_id()
-        while sid is not None:
+        while sid is not None and self.has_snapshot(sid):
             chain.append(sid)
             sid = self.manifest(sid).parent_id
         return list(reversed(chain))

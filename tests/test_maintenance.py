@@ -1,0 +1,73 @@
+"""Re-bucketing + snapshot expiry: logical state must never change."""
+
+import glob
+import os
+
+import pytest
+
+from clinvar_ingest_spark.engine import CdcEngine
+from clinvar_ingest_spark.lakelet.maintenance import expire_snapshots, rebucket
+from clinvar_ingest_spark.sources.changelog import (
+    ChangelogSpec,
+    changelog_arrow_schema,
+    generate_changelog,
+)
+
+
+@pytest.fixture()
+def setup(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = generate_changelog(ChangelogSpec(n_events=1600, n_urls=250, seed=9))
+    p = str(tmp_path / "cl.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=changelog_arrow_schema(), preserve_index=False), p
+    )
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=4)
+    cl = spark.read.parquet(p)
+    eng.replay(cl.filter("seq < 1200"), batch_size=400)
+    return eng, cl
+
+
+def test_rebucket_preserves_state_and_scales_buckets(spark, setup):
+    eng, cl = setup
+    h = eng.state_hash()
+    pre = eng.table.current_snapshot_id()
+
+    sid = rebucket(spark, eng.table, 16)
+    m = eng.table.manifest()
+    assert m.n_buckets == 16
+    assert len(m.files) == 16
+    assert eng.state_hash() == h  # logically empty commit
+    # pre-rebucket snapshot still time-travels under ITS bucket count
+    assert eng.pages(pre).count() == eng.pages().count()
+    # idempotent (same target = same deterministic id path)
+    assert rebucket(spark, eng.table, 16) == sid
+
+    # the engine keeps ingesting correctly under the new layout
+    stats = eng.replay(cl, batch_size=400)
+    assert stats and all(s.touched_buckets <= 16 for s in stats)
+    ref = CdcEngine(spark, eng.table.root + "_ref", n_buckets=16)
+    ref.replay(cl, batch_size=400)
+    assert eng.state_hash() == ref.state_hash()
+
+
+def test_expire_snapshots_gc(spark, setup):
+    eng, _cl = setup
+    h = eng.state_hash()
+    n_snapshots = len(eng.table.history())
+    assert n_snapshots >= 4  # genesis + 3 batches
+    n_data_before = len(glob.glob(os.path.join(eng.table.data_dir, "*.parquet")))
+
+    res = expire_snapshots(eng.table, keep_last=2)
+    assert len(res["expired"]) == n_snapshots - 2
+    assert res["deleted_files"] > 0
+
+    assert eng.state_hash() == h
+    hist = eng.table.history()
+    assert len(hist) == 2
+    for sid in hist:
+        for f in eng.table.manifest(sid).files:
+            assert os.path.exists(os.path.join(eng.table.root, f.path))
+    assert len(glob.glob(os.path.join(eng.table.data_dir, "*.parquet"))) < n_data_before
