@@ -68,21 +68,6 @@ class ChangelogSpec:
     words_per_page: int = 12
 
 
-def _render_html(urls: np.ndarray, bodies: list[str], langs: np.ndarray) -> list[bytes]:
-    """Fixed template → deterministic bytes (vectorized via list comp on arrays)."""
-    return [
-        (
-            f'<html lang="{lang}"><head><title>{u}</title>'
-            f"<script>var x=1;</script><style>p{{color:red}}</style></head>"
-            f"<body><!-- gen --><h1>{u}</h1><p>{body}</p>"
-            f'<p><a href="{u}?ref=self">self</a> '
-            f'<a href="https://index.example.org/{lang}">index</a></p>'
-            f"<div>footer &amp; links</div></body></html>"
-        ).encode("utf-8")
-        for u, body, lang in zip(urls, bodies, langs)
-    ]
-
-
 _M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
@@ -188,15 +173,75 @@ def _generate_meta(spec: ChangelogSpec) -> dict:
     }
 
 
+def _join_ix(ix: np.ndarray, dictionary: pa.Array) -> np.ndarray:
+    """Vectorized ' '.join of dictionary[ix] rows via pyarrow binary_join."""
+    import pyarrow.compute as pc
+
+    n, w = ix.shape
+    flat = dictionary.take(pa.array(ix.ravel(), type=pa.int64()))
+    offsets = pa.array(np.arange(0, (n + 1) * w, w, dtype=np.int32))
+    joined = pc.binary_join(pa.ListArray.from_arrays(offsets, flat), " ")
+    return np.asarray(joined)
+
+
+_N_BLOCKS, _BLOCK_WORDS = 1024, 16
+_BLOCK_DICT: pa.Array | None = None
+
+
+def _block_dict() -> pa.Array:
+    """1024 fixed 16-word text blocks (pure function of the word list).
+    Long pages draw blocks instead of single words — 16× fewer take/join
+    operations with the same extraction-workload characteristics."""
+    global _BLOCK_DICT
+    if _BLOCK_DICT is None:
+        b = np.arange(_N_BLOCKS, dtype=np.uint64)[:, None]
+        j = np.arange(_BLOCK_WORDS, dtype=np.uint64)[None, :]
+        ix = (_splitmix64(b * np.uint64(0x9E3779B9) + j) % np.uint64(len(_WORDS))).astype(int)
+        _BLOCK_DICT = pa.array([" ".join(_WORDS[r]) for r in ix], type=pa.string())
+    return _BLOCK_DICT
+
+
+def _bodies(seed: int, ev_index: np.ndarray, words_per_page: int) -> np.ndarray:
+    """Deterministic page bodies of ~words_per_page words (chunk-independent:
+    pure function of (seed, original event index, position))."""
+    if words_per_page < 2 * _BLOCK_WORDS:
+        word_ix = _body_word_ix(seed, ev_index, words_per_page)
+        return _join_ix(word_ix, pa.array(_WORDS.tolist(), type=pa.string()))
+    n_blocks = (words_per_page + _BLOCK_WORDS - 1) // _BLOCK_WORDS
+    i = ev_index.astype(np.uint64)[:, None]
+    j = np.arange(n_blocks, dtype=np.uint64)[None, :]
+    h = _splitmix64(i * np.uint64(0x100000001B3) + j + np.uint64(seed) * np.uint64(0x9E37))
+    block_ix = (h % np.uint64(_N_BLOCKS)).astype(np.int64)
+    return _join_ix(block_ix, _block_dict())
+
+
+def _render_html_vec(urls: np.ndarray, bodies: np.ndarray, langs: np.ndarray) -> pa.Array:
+    """Vectorized page render — fixed template, deterministic bytes."""
+    import pyarrow.compute as pc
+
+    u = pa.array(urls, type=pa.string())
+    b = pa.array(bodies, type=pa.string())
+    lang = pa.array(langs, type=pa.string())
+    html = pc.binary_join_element_wise(
+        '<html lang="', lang, '"><head><title>', u,
+        "</title><script>var x=1;</script><style>p{color:red}</style></head>"
+        "<body><!-- gen --><h1>", u, "</h1><p>", b, "</p>"
+        '<p><a href="', u, '?ref=self">self</a> '
+        '<a href="https://index.example.org/', lang, '">index</a></p>'
+        "<div>footer &amp; links</div></body></html>",
+        "",
+    )
+    return html.cast(pa.binary())
+
+
 def _render_rows(spec: ChangelogSpec, meta: dict, lo: int, hi: int) -> pd.DataFrame:
     """Materialize output rows [lo, hi) of the expanded stream."""
     ix = meta["ev_index"][lo:hi]
     ops = meta["op"][ix]
     ev_urls = meta["url"][ix]
     langs = meta["lang"][ix]
-    word_ix = _body_word_ix(spec.seed, ix, spec.words_per_page)
-    bodies = [" ".join(_WORDS[row]) for row in word_ix]
-    html = _render_html(ev_urls, bodies, langs)
+    bodies = _bodies(spec.seed, ix, spec.words_per_page)
+    html = _render_html_vec(ev_urls, bodies, langs).to_pandas()
     df = pd.DataFrame(
         {
             "seq": meta["seq"][lo:hi],
