@@ -73,6 +73,12 @@ def get_spark(
         .config("spark.driver.extraJavaOptions", _JAVA_OPTS)
         .config("spark.executor.extraJavaOptions", _JAVA_OPTS)
     )
+    # shuffle/spill dir override (e.g. tmpfs when local disk is the
+    # bottleneck — cluster executors have per-node NVMe, the sandbox
+    # VM has one slow virtio disk)
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

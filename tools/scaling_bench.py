@@ -80,7 +80,14 @@ def main() -> None:
                     help="best-of-k per level, interleaved N/4N to decorrelate host noise")
     ap.add_argument("--changelog", default=None,
                     help="reuse an existing changelog parquet instead of generating")
+    ap.add_argument("--tmpfs", action="store_true",
+                    help="put workdir + spark.local.dir on /dev/shm — isolates "
+                         "CPU scaling from the sandbox's single virtio disk "
+                         "(cluster executors have per-node NVMe)")
     args = ap.parse_args()
+    if args.tmpfs:
+        tempfile.tempdir = "/dev/shm"
+        os.environ["SPARK_GRAFT_LOCAL_DIR"] = "/dev/shm/spark_local"
 
     sys.path.insert(0, REPO)
     from clinvar_ingest_spark.sources.changelog import (
