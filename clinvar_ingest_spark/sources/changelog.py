@@ -66,6 +66,10 @@ class ChangelogSpec:
     #: for fast unit tests; real Common-Crawl pages are KBs–100s of KB,
     #: so benches use 100+ to keep per-event compute realistic).
     words_per_page: int = 12
+    #: wrap body words in markup (like real tag-dense web HTML): page
+    #: bytes ≈ 5× text bytes and extraction does real tag-stripping
+    #: work per word instead of skimming one long text run.
+    tag_dense: bool = False
 
 
 _M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -185,34 +189,44 @@ def _join_ix(ix: np.ndarray, dictionary: pa.Array) -> np.ndarray:
 
 
 _N_BLOCKS, _BLOCK_WORDS = 1024, 16
-_BLOCK_DICT: pa.Array | None = None
+_BLOCK_DICTS: dict[bool, pa.Array] = {}
 
 
-def _block_dict() -> pa.Array:
+def _wrap(w: str, tag_dense: bool) -> str:
+    return f'<span class="w">{w}</span>' if tag_dense else w
+
+
+def _block_dict(tag_dense: bool) -> pa.Array:
     """1024 fixed 16-word text blocks (pure function of the word list).
     Long pages draw blocks instead of single words — 16× fewer take/join
     operations with the same extraction-workload characteristics."""
-    global _BLOCK_DICT
-    if _BLOCK_DICT is None:
+    if tag_dense not in _BLOCK_DICTS:
         b = np.arange(_N_BLOCKS, dtype=np.uint64)[:, None]
         j = np.arange(_BLOCK_WORDS, dtype=np.uint64)[None, :]
         ix = (_splitmix64(b * np.uint64(0x9E3779B9) + j) % np.uint64(len(_WORDS))).astype(int)
-        _BLOCK_DICT = pa.array([" ".join(_WORDS[r]) for r in ix], type=pa.string())
-    return _BLOCK_DICT
+        _BLOCK_DICTS[tag_dense] = pa.array(
+            [" ".join(_wrap(w, tag_dense) for w in _WORDS[r]) for r in ix],
+            type=pa.string(),
+        )
+    return _BLOCK_DICTS[tag_dense]
 
 
-def _bodies(seed: int, ev_index: np.ndarray, words_per_page: int) -> np.ndarray:
+def _bodies(spec: ChangelogSpec, ev_index: np.ndarray) -> np.ndarray:
     """Deterministic page bodies of ~words_per_page words (chunk-independent:
     pure function of (seed, original event index, position))."""
+    words_per_page = spec.words_per_page
     if words_per_page < 2 * _BLOCK_WORDS:
-        word_ix = _body_word_ix(seed, ev_index, words_per_page)
-        return _join_ix(word_ix, pa.array(_WORDS.tolist(), type=pa.string()))
+        word_ix = _body_word_ix(spec.seed, ev_index, words_per_page)
+        return _join_ix(
+            word_ix,
+            pa.array([_wrap(w, spec.tag_dense) for w in _WORDS], type=pa.string()),
+        )
     n_blocks = (words_per_page + _BLOCK_WORDS - 1) // _BLOCK_WORDS
     i = ev_index.astype(np.uint64)[:, None]
     j = np.arange(n_blocks, dtype=np.uint64)[None, :]
-    h = _splitmix64(i * np.uint64(0x100000001B3) + j + np.uint64(seed) * np.uint64(0x9E37))
+    h = _splitmix64(i * np.uint64(0x100000001B3) + j + np.uint64(spec.seed) * np.uint64(0x9E37))
     block_ix = (h % np.uint64(_N_BLOCKS)).astype(np.int64)
-    return _join_ix(block_ix, _block_dict())
+    return _join_ix(block_ix, _block_dict(spec.tag_dense))
 
 
 def _render_html_vec(urls: np.ndarray, bodies: np.ndarray, langs: np.ndarray) -> pa.Array:
@@ -240,7 +254,7 @@ def _render_rows(spec: ChangelogSpec, meta: dict, lo: int, hi: int) -> pd.DataFr
     ops = meta["op"][ix]
     ev_urls = meta["url"][ix]
     langs = meta["lang"][ix]
-    bodies = _bodies(spec.seed, ix, spec.words_per_page)
+    bodies = _bodies(spec, ix)
     html = _render_html_vec(ev_urls, bodies, langs).to_pandas()
     df = pd.DataFrame(
         {

@@ -53,11 +53,14 @@ shutil.rmtree(tdir, ignore_errors=True)
 """
 
 
-def run_level(cores: int, changelog: str, workdir: str, batches: int) -> dict:
+def run_level(
+    cores: int, changelog: str, workdir: str, batches: int, driver_mem: str = "8g"
+) -> dict:
     script = RUNNER.format(repo=REPO)
+    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM=driver_mem)
     out = subprocess.run(
         [sys.executable, "-c", script, str(cores), changelog, workdir, str(batches)],
-        capture_output=True, text=True, timeout=3600,
+        capture_output=True, text=True, timeout=3600, env=env,
     )
     if out.returncode != 0:
         raise RuntimeError(f"level {cores} failed:\n{out.stderr[-3000:]}")
@@ -66,10 +69,15 @@ def run_level(cores: int, changelog: str, workdir: str, batches: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--events", type=int, default=1_000_000)
-    ap.add_argument("--n", type=int, default=8)
-    ap.add_argument("--xn", type=int, default=32)
+    ap.add_argument("--events", type=int, default=200_000)
+    ap.add_argument("--n", type=int, default=2)
+    ap.add_argument("--xn", type=int, default=8)
     ap.add_argument("--batches", type=int, default=2)
+    ap.add_argument("--tag-dense", action="store_true", default=True,
+                    help="tag-dense pages (real-HTML extraction economics)")
+    ap.add_argument("--driver-mem", default="8g",
+                    help="heap per level JVM; small heaps avoid this "
+                         "microVM's page-touch-expensive GC pathology")
     ap.add_argument(
         "--words", type=int, default=200,
         help="words per page: sizes per-event compute to realistic "
@@ -108,14 +116,15 @@ def main() -> None:
                 n_hosts=100,
                 seed=42,
                 words_per_page=args.words,
+                tag_dense=args.tag_dense,
             ),
             clp,
         )
 
     runs_n, runs_xn = [], []
     for rep in range(args.repeats):
-        runs_n.append(run_level(args.n, clp, workdir, args.batches))
-        runs_xn.append(run_level(args.xn, clp, workdir, args.batches))
+        runs_n.append(run_level(args.n, clp, workdir, args.batches, args.driver_mem))
+        runs_xn.append(run_level(args.xn, clp, workdir, args.batches, args.driver_mem))
         print(f"rep {rep}: N={runs_n[-1]['events_per_sec']} "
               f"4N={runs_xn[-1]['events_per_sec']} ev/s", file=sys.stderr)
     r_n = max(runs_n, key=lambda r: r["events_per_sec"])
