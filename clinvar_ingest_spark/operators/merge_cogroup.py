@@ -28,6 +28,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -41,6 +43,109 @@ from clinvar_ingest_spark.lakelet.table import (
 from clinvar_ingest_spark.operators.merge import MergeStats
 
 _ACTIONS = ("insert", "update", "delete", "noop_delete", "keep_late")
+
+
+def _merge_bucket_arrow_fn(table_cols: list[str], batch_cols: list[str]):
+    """Arrow-native per-bucket merge (`applyInArrow`): payloads stay in
+    Arrow buffers end-to-end — 13 KB html/text cells never materialize
+    as Python bytes except for the rows actually being extracted.
+
+    Same semantics as :func:`_merge_bucket_fn` (the pandas formulation,
+    kept for A/B): LWW by (warc_ts, seq), snapshot classify, late-event
+    guard, extraction once per surviving upsert.
+    """
+    batch_set = set(batch_cols)
+
+    def merge_bucket(b: pa.Table, c: pa.Table) -> pa.Table:
+        # --- LWW: sort (url, warc_ts, seq); keep last row per url -----
+        n_b = b.num_rows
+        if n_b > 1:
+            ix = pc.sort_indices(
+                b,
+                sort_keys=[("url", "ascending"), ("warc_ts", "ascending"), ("seq", "ascending")],
+            )
+            b = b.take(ix)
+            urls = b["url"].combine_chunks()
+            mask = np.ones(n_b, dtype=bool)
+            mask[:-1] = pc.not_equal(
+                urls.slice(0, n_b - 1), urls.slice(1)
+            ).to_numpy(zero_copy_only=False)
+            b = b.filter(pa.array(mask))
+
+        # --- full-outer hash join on url (arrow C++) -------------------
+        bj = b.rename_columns([f"b_{cn}" for cn in b.column_names])
+        cj = c.rename_columns([f"c_{cn}" for cn in c.column_names])
+        m = bj.join(
+            cj,
+            keys=["b_url"],
+            right_keys=["c_url"],
+            join_type="full outer",
+            coalesce_keys=False,
+        )
+        n = m.num_rows
+
+        def col(name):
+            return m[name].combine_chunks()
+
+        in_batch = pc.is_valid(col("b_url"))
+        in_cur = pc.is_valid(col("c_url"))
+
+        b_ts, c_ts = col("b_warc_ts"), col("c_warc_ts")
+        b_seq, c_seq = col("b_seq"), col("c__seq")
+        newer = pc.or_(
+            pc.greater(b_ts, c_ts),
+            pc.and_(pc.equal(b_ts, c_ts), pc.greater(b_seq, c_seq)),
+        )
+        newer = pc.fill_null(newer, False)
+        batch_wins = pc.and_(in_batch, pc.or_(pc.invert(in_cur), newer))
+
+        is_del = pc.and_(in_batch, pc.fill_null(pc.equal(col("b_op"), "delete"), False))
+
+        ib = in_batch.to_numpy(zero_copy_only=False)
+        ic = in_cur.to_numpy(zero_copy_only=False)
+        bw = batch_wins.to_numpy(zero_copy_only=False)
+        dl = is_del.to_numpy(zero_copy_only=False)
+
+        action = np.full(n, "keep", dtype=object)
+        action[ib & ~bw] = "keep_late"
+        action[bw & dl & ic] = "delete"
+        action[bw & dl & ~ic] = "noop_delete"
+        action[bw & ~dl & ~ic] = "insert"
+        action[bw & ~dl & ic] = "update"
+        take = (action == "insert") | (action == "update")
+        take_arr = pa.array(take)
+
+        # --- extraction: only upsert winners leave Arrow ---------------
+        c_text = col("c_text")
+        if take.any():
+            take_idx = np.nonzero(take)[0]
+            html_up = col("b_html").take(pa.array(take_idx))
+            extracted = extract_text_series(html_up.to_pandas())
+            text_np = c_text.to_numpy(zero_copy_only=False).astype(object)
+            text_np[take_idx] = extracted.to_numpy()
+            text = pa.array(text_np, type=pa.string())
+        else:
+            text = c_text
+
+        cols_out: dict[str, pa.Array] = {}
+        for cn in table_cols:
+            if cn == "text":
+                cols_out[cn] = text
+            elif cn == "_seq":
+                cols_out[cn] = pc.fill_null(
+                    pc.if_else(take_arr, b_seq, c_seq), -1
+                ).cast(pa.int64())
+            elif cn in batch_set:
+                cols_out[cn] = pc.if_else(take_arr, col(f"b_{cn}"), col(f"c_{cn}"))
+            else:
+                cols_out[cn] = col(f"c_{cn}")
+        cols_out["_bucket"] = pc.if_else(
+            in_batch, col("b__bucket"), col("c__bucket")
+        ).cast(pa.int64())
+        cols_out["_action"] = pa.array(action, type=pa.string())
+        return pa.table(cols_out)
+
+    return merge_bucket
 
 
 def _merge_bucket_fn(table_cols: list[str], batch_cols: list[str]):
@@ -133,6 +238,7 @@ def merge_apply_cogrouped(
     batch: DataFrame,
     batch_id: str,
     assume_all_buckets: bool = False,
+    use_arrow: bool = True,
 ) -> MergeStats:
     """Apply one micro-batch via the cogrouped per-bucket plan.
 
@@ -179,12 +285,13 @@ def merge_apply_cogrouped(
             T.StructField("_action", T.StringType()),
         ]
     )
-    fn = _merge_bucket_fn(table_cols, b.columns)
-    merged = (
-        b.groupBy("_bucket")
-        .cogroup(current.groupBy("_bucket"))
-        .applyInPandas(lambda left, right: fn(left, right), schema=out_schema)
-    )
+    cg = b.groupBy("_bucket").cogroup(current.groupBy("_bucket"))
+    if use_arrow:
+        afn = _merge_bucket_arrow_fn(table_cols, b.columns)
+        merged = cg.applyInArrow(lambda left, right: afn(left, right), schema=out_schema)
+    else:
+        fn = _merge_bucket_fn(table_cols, b.columns)
+        merged = cg.applyInPandas(lambda left, right: fn(left, right), schema=out_schema)
 
     merge_obs = Observation()
 
