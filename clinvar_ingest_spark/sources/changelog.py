@@ -281,6 +281,11 @@ def generate_changelog(spec: ChangelogSpec | None = None, **kw) -> pd.DataFrame:
     return _render_rows(spec, meta, 0, len(meta["ev_index"]))
 
 
+def estimated_page_bytes(spec: ChangelogSpec) -> int:
+    per_word = 7 * (4 if spec.tag_dense else 1)
+    return 300 + spec.words_per_page * per_word
+
+
 def generate_changelog_to_parquet(
     spec: ChangelogSpec, path: str, chunk_rows: int = 100_000
 ) -> int:
@@ -288,6 +293,9 @@ def generate_changelog_to_parquet(
     memory (html payloads are rendered per chunk, never all at once).
     Byte-identical to ``generate_changelog`` + ``write_changelog_parquet``
     for the same spec. Returns the number of rows written."""
+    # arrow string/binary arrays carry int32 offsets (2 GB per array):
+    # cap chunk bytes well below that or the render kernels overflow
+    chunk_rows = max(min(chunk_rows, 700_000_000 // estimated_page_bytes(spec)), 1024)
     meta = _generate_meta(spec)
     total = len(meta["ev_index"])
     writer = pq.ParquetWriter(path, changelog_arrow_schema(), compression="zstd")
