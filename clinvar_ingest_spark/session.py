@@ -16,7 +16,9 @@ DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
 
 _JAVA_OPTS = os.environ.get(
     "SPARK_GRAFT_JAVA_OPTS",
-    "-XX:+UseParallelGC -XX:+DisableExplicitGC -XX:MaxDirectMemorySize=16g",
+    # UseAVX=2: this sandbox VM intermittently faults on AVX-512 (libc
+    # segfaults in dmesg) — keep JIT-emitted vector code at AVX2
+    "-XX:+UseParallelGC -XX:+DisableExplicitGC -XX:MaxDirectMemorySize=16g -XX:UseAVX=2",
 )
 
 

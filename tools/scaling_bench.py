@@ -57,7 +57,13 @@ def run_level(
     cores: int, changelog: str, workdir: str, batches: int, driver_mem: str = "8g"
 ) -> dict:
     script = RUNNER.format(repo=REPO)
-    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM=driver_mem)
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_DRIVER_MEM=driver_mem,
+        # this sandbox VM intermittently faults in AVX-512 memcpy paths
+        # (libc segfaults in dmesg); pin glibc to AVX2
+        GLIBC_TUNABLES="glibc.cpu.hwcaps=-AVX512F",
+    )
     out = subprocess.run(
         [sys.executable, "-c", script, str(cores), changelog, workdir, str(batches)],
         capture_output=True, text=True, timeout=3600, env=env,
@@ -123,10 +129,15 @@ def main() -> None:
 
     runs_n, runs_xn = [], []
     for rep in range(args.repeats):
-        runs_n.append(run_level(args.n, clp, workdir, args.batches, args.driver_mem))
-        runs_xn.append(run_level(args.xn, clp, workdir, args.batches, args.driver_mem))
-        print(f"rep {rep}: N={runs_n[-1]['events_per_sec']} "
-              f"4N={runs_xn[-1]['events_per_sec']} ev/s", file=sys.stderr)
+        for cores, sink in ((args.n, runs_n), (args.xn, runs_xn)):
+            try:
+                sink.append(run_level(cores, clp, workdir, args.batches, args.driver_mem))
+                print(f"rep {rep} local[{cores}]: {sink[-1]['events_per_sec']} ev/s",
+                      file=sys.stderr)
+            except Exception as e:  # flaky-substrate runs are retried next rep
+                print(f"rep {rep} local[{cores}] FAILED: {e}", file=sys.stderr)
+    if not runs_n or not runs_xn:
+        raise SystemExit("no successful runs at one of the levels")
     r_n = max(runs_n, key=lambda r: r["events_per_sec"])
     r_xn = max(runs_xn, key=lambda r: r["events_per_sec"])
     assert r_n["state_hash"] == r_xn["state_hash"], "levels diverged!"
