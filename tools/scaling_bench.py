@@ -60,6 +60,9 @@ def run_level(
     env = dict(
         os.environ,
         SPARK_GRAFT_DRIVER_MEM=driver_mem,
+        # tag-dense pages zstd ~40:1 — split small enough that 8 decoded
+        # splits fit the heap comfortably
+        SPARK_GRAFT_MAX_PARTITION_BYTES="1m",
         # this sandbox VM intermittently faults in AVX-512 memcpy paths
         # (libc segfaults in dmesg); pin glibc to AVX2
         GLIBC_TUNABLES="glibc.cpu.hwcaps=-AVX512F",
@@ -75,13 +78,13 @@ def run_level(
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--events", type=int, default=200_000)
-    ap.add_argument("--n", type=int, default=2)
-    ap.add_argument("--xn", type=int, default=8)
+    ap.add_argument("--events", type=int, default=250_000)
+    ap.add_argument("--n", type=int, default=1)
+    ap.add_argument("--xn", type=int, default=4)
     ap.add_argument("--batches", type=int, default=2)
     ap.add_argument("--tag-dense", action="store_true", default=True,
                     help="tag-dense pages (real-HTML extraction economics)")
-    ap.add_argument("--driver-mem", default="8g",
+    ap.add_argument("--driver-mem", default="10g",
                     help="heap per level JVM; small heaps avoid this "
                          "microVM's page-touch-expensive GC pathology")
     ap.add_argument(
