@@ -218,7 +218,13 @@ class CdcEngine:
         for kind in ("created", "updated", "deleted"):
             path = os.path.join(out_dir, kind)
             slice_df = d.filter(F.col("_change") == kind).drop("_change")
-            slice_df.write.mode("overwrite").json(path)
+            # microsecond timestamps: the default JSON format truncates
+            # to ms, which breaks LWW round-trips on replayed slices
+            (
+                slice_df.write.mode("overwrite")
+                .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+                .json(path)
+            )
             counts[kind] = slice_df.count()
         # notify record (reference: notify-clingen-kafka.py:17-48)
         from clinvar_ingest_spark.lakelet.manifest import atomic_write_json
