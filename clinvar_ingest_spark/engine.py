@@ -71,12 +71,14 @@ class CdcEngine:
         process-and-reingest-release.yaml:37-51)."""
         batch_id = batch_id_for(first_seq, last_seq)
         if self.ledger.is_committed(batch_id):
-            # ensure the pointer matches (crash between manifest + ledger
-            # is impossible in this order; between pointer + ledger it
-            # self-heals here)
-            rec = self.ledger.get(batch_id)
-            if rec and self.table.has_snapshot(rec["snapshot_id"]):
-                return None
+            # The ledger record is written strictly AFTER the manifest
+            # commit, so its existence alone proves the batch applied.
+            # Do NOT additionally require the snapshot manifest to still
+            # exist: expire_snapshots legitimately deletes old manifests,
+            # and falling through here would re-merge a committed batch
+            # onto *later* state (resurrecting deleted keys, corrupting
+            # the ledger record). Trust the ledger.
+            return None
         cur = self.table.manifest()
         if cur.batch_id == batch_id:
             # crash after manifest commit, before ledger append (the
@@ -168,11 +170,20 @@ class CdcEngine:
     # ------------------------------------------------------------------ reads
 
     def read(self, snapshot_id: str | None = None) -> DataFrame:
+        """Raw snapshot rows including lineage columns and soft-delete
+        tombstones (``_deleted = true``)."""
         return self.table.read(self.spark, snapshot_id)
 
+    def live(self, snapshot_id: str | None = None) -> DataFrame:
+        """Snapshot rows minus tombstones (all columns)."""
+        return self.read(snapshot_id).filter(
+            ~F.coalesce(F.col("_deleted"), F.lit(False))
+        )
+
     def pages(self, snapshot_id: str | None = None) -> DataFrame:
-        """User-facing view: input_hint columns only (lineage cols hidden)."""
-        return self.read(snapshot_id).select("url", "warc_ts", "html", "text", "lang")
+        """User-facing view: input_hint columns only (lineage cols hidden,
+        tombstones filtered)."""
+        return self.live(snapshot_id).select("url", "warc_ts", "html", "text", "lang")
 
     # ------------------------------------------------------------------- diff
 
@@ -203,8 +214,12 @@ class CdcEngine:
                 sel.append(F.col(sc.name).cast(_SPARK_TYPES[tc.type]).alias(tc.name))
             else:
                 sel.append(F.col(tc.name))
-        old = old.select(*sel).drop("_seq")
-        new = self.read(new_snapshot).drop("_seq")
+        # diff classifies LIVE rows only: a key whose winner became a
+        # tombstone between the snapshots shows up as 'deleted', exactly
+        # like the reference's soft-delete slice (diff.py:138-141)
+        live = ~F.coalesce(F.col("_deleted"), F.lit(False))
+        old = old.select(*sel).filter(live).drop("_seq", "_deleted")
+        new = self.read(new_snapshot).filter(live).drop("_seq", "_deleted")
         return diff_ops.diff_all(new, old, keys=[self.table.key_col], null_safe=null_safe)
 
     def export_diff_ndjson(
@@ -212,20 +227,30 @@ class CdcEngine:
     ) -> dict:
         """NDJSON slices per change type (reference: diff.py:185-207 export
         + date-present.yaml per-table get-created/deleted/updated)."""
+        from pyspark.sql import Observation
+
         d = self.diff_snapshots(old_snapshot, new_snapshot)
         d = d.withColumn("html", F.base64("html"))  # binary → NDJSON-safe
-        counts = {}
-        for kind in ("created", "updated", "deleted"):
-            path = os.path.join(out_dir, kind)
-            slice_df = d.filter(F.col("_change") == kind).drop("_change")
-            # microsecond timestamps: the default JSON format truncates
-            # to ms, which breaks LWW round-trips on replayed slices
-            (
-                slice_df.write.mode("overwrite")
-                .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
-                .json(path)
-            )
-            counts[kind] = slice_df.count()
+        # ONE job: the diff is computed once, written partitioned by
+        # change kind (out_dir/_change=<kind>/), with per-kind counts
+        # riding along as observe() metrics — no per-slice recompute.
+        obs = Observation()
+        d = d.observe(
+            obs,
+            *[
+                F.sum(F.when(F.col("_change") == k, 1).otherwise(0)).alias(k)
+                for k in ("created", "updated", "deleted")
+            ],
+        )
+        # microsecond timestamps: the default JSON format truncates
+        # to ms, which breaks LWW round-trips on replayed slices
+        (
+            d.write.mode("overwrite")
+            .partitionBy("_change")
+            .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+            .json(out_dir)
+        )
+        counts = {k: int(obs.get.get(k) or 0) for k in ("created", "updated", "deleted")}
         # notify record (reference: notify-clingen-kafka.py:17-48)
         from clinvar_ingest_spark.lakelet.manifest import atomic_write_json
 
@@ -235,7 +260,7 @@ class CdcEngine:
             "files": sorted(
                 os.path.relpath(p, out_dir)
                 for kind in counts
-                for p in _ls(os.path.join(out_dir, kind))
+                for p in _ls(os.path.join(out_dir, f"_change={kind}"))
             ),
             "counts": counts,
         }
@@ -258,30 +283,56 @@ class CdcEngine:
              "partitions_json": _json.dumps(r.get("partitions", []))}
             for r in recs
         ]
-        if not flat:
-            return self.spark.createDataFrame([], schema="batch_id string")
-        return self.spark.createDataFrame(flat)
+        # explicit schema: dict-based inference fails when a column (e.g.
+        # watermark) is None in every record (ledger-repair-only ledgers)
+        schema = (
+            "batch_id string, snapshot_id string, first_seq long, "
+            "last_seq long, n_events long, n_inserts long, n_updates long, "
+            "n_deletes long, touched_buckets long, watermark string, "
+            "wall_secs double, events_per_sec double, engine_version string, "
+            "applied_at double, partitions_json string"
+        )
+        return self.spark.createDataFrame(
+            [
+                tuple(r.get(k) for k in (
+                    "batch_id", "snapshot_id", "first_seq", "last_seq",
+                    "n_events", "n_inserts", "n_updates", "n_deletes",
+                    "touched_buckets", "watermark", "wall_secs",
+                    "events_per_sec", "engine_version", "applied_at",
+                    "partitions_json",
+                ))
+                for r in flat
+            ],
+            schema=schema,
+        )
 
     # ------------------------------------------------------------- state hash
 
-    def state_hash(self, snapshot_id: str | None = None) -> str:
+    def state_hash(
+        self, snapshot_id: str | None = None, include_tombstones: bool = False
+    ) -> str:
         """Order-insensitive content hash of the logical table state —
         the replay-convergence check (north rule: identical final state).
+        ``include_tombstones=True`` hashes the full physical frontier
+        (live rows + tombstones with their LWW position) — the stronger
+        convergence check used by replay tests.
         """
-        df = self.pages(snapshot_id)
-        h = df.select(
-            F.sha2(
-                F.concat_ws(
-                    "\x1f",
-                    F.col("url"),
-                    F.col("warc_ts").cast("string"),
-                    F.sha2(F.col("html"), 256),
-                    F.col("text"),
-                    F.col("lang"),
-                ),
-                256,
-            ).alias("h")
-        )
+        parts = [
+            F.col("url"),
+            F.col("warc_ts").cast("string"),
+            F.sha2(F.col("html"), 256),
+            F.col("text"),
+            F.col("lang"),
+        ]
+        if include_tombstones:
+            df = self.read(snapshot_id)
+            parts += [
+                F.col("_seq").cast("string"),
+                F.col("_deleted").cast("string"),
+            ]
+        else:
+            df = self.pages(snapshot_id)
+        h = df.select(F.sha2(F.concat_ws("\x1f", *parts), 256).alias("h"))
         row = h.agg(
             F.sum(F.conv(F.substring("h", 1, 15), 16, 10).cast("decimal(38,0)")).alias("s"),
             F.count("*").alias("n"),

@@ -105,6 +105,43 @@ def rebucket(
     return sid
 
 
+def purge_tombstones(
+    spark: SparkSession,
+    table: LakeletTable,
+    older_than: str,
+) -> str:
+    """Drop soft-delete tombstone rows whose ``warc_ts`` is older than
+    ``older_than`` (ISO timestamp) — a logically-empty commit (the live
+    state is unchanged; only the delete frontier is compacted).
+
+    Safe once no event older than ``older_than`` can still arrive (the
+    stream's lateness bound / the ledger watermark): a tombstone's only
+    job is to out-LWW late re-deliveries of its key. COW rewrites only
+    the buckets that actually hold old tombstones. Returns the new
+    snapshot id (current id if nothing to purge). Idempotent by
+    deterministic snapshot id.
+    """
+    from pyspark.sql import functions as F
+
+    m = table.manifest()
+    is_old_tomb = (
+        F.coalesce(F.col("_deleted"), F.lit(False))
+        & (F.col("warc_ts") < F.lit(older_than).cast("timestamp"))
+    )
+    touched = table.touched_buckets(
+        table.read(spark).filter(is_old_tomb).select(table.key_col)
+    )
+    if not touched:
+        return m.snapshot_id
+    batch_id = f"purge_tombstones:{older_than}:{m.snapshot_id}"
+    kept = (
+        table.read(spark, buckets=touched)
+        .filter(~is_old_tomb)
+        .withColumn("_bucket", bucket_expr(table.key_col, m.n_buckets))
+    )
+    return table.commit_rewrite(spark, kept, touched, batch_id=batch_id)
+
+
 def expire_snapshots(table: LakeletTable, keep_last: int = 3) -> dict:
     """Expire all but the last ``keep_last`` snapshots of the current
     chain, then garbage-collect data files no surviving manifest
@@ -115,11 +152,22 @@ def expire_snapshots(table: LakeletTable, keep_last: int = 3) -> dict:
     expired = []
     for p in glob.glob(os.path.join(table.manifest_dir, "*.json")):
         name = os.path.basename(p)
-        if name == "_current.json":
+        if name.startswith("_"):  # _current.json / _expired.json markers
             continue
         sid = name[:-5]
         if sid not in keep:
             expired.append(sid)
+
+    # phase 0: record the expired ids (audit trail; lets operators
+    # distinguish "snapshot expired" from "snapshot never existed")
+    if expired:
+        from clinvar_ingest_spark.lakelet.manifest import atomic_write_json
+
+        tomb_path = os.path.join(table.manifest_dir, "_expired.json")
+        prior: list[str] = []
+        if os.path.exists(tomb_path):
+            prior = read_json(tomb_path).get("expired", [])
+        atomic_write_json(tomb_path, {"expired": sorted(set(prior) | set(expired))})
 
     # phase 1: remove expired manifests (each removal atomic)
     for sid in expired:
@@ -128,7 +176,7 @@ def expire_snapshots(table: LakeletTable, keep_last: int = 3) -> dict:
     # phase 2: delete data files referenced by NO surviving manifest
     live_files: set[str] = set()
     for p in glob.glob(os.path.join(table.manifest_dir, "*.json")):
-        if os.path.basename(p) == "_current.json":
+        if os.path.basename(p).startswith("_"):
             continue
         man = Manifest.from_json(read_json(p))
         live_files.update(f.path for f in man.files)

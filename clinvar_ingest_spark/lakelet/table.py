@@ -49,8 +49,14 @@ from clinvar_ingest_spark.lakelet.manifest import (
 )
 
 #: Default schema of the `pages` table (BASELINE.json input_hint) plus
-#: lineage columns `_seq` (LWW tie-break, FIXTURES.md §2) — kept in-table
-#: so late events can be LWW-compared against the current state.
+#: lineage columns: `_seq` (LWW tie-break, FIXTURES.md §2) and `_deleted`
+#: (soft-delete tombstone) — both kept in-table so late events can be
+#: LWW-compared against the current state *including deletions*. Without
+#: tombstones, a late event delivered after a cross-batch delete would
+#: resurrect the key (the delete's newer (warc_ts, seq) would be gone);
+#: with them, the final live state is exactly the global LWW winner per
+#: url excluding delete-winners — the reference's soft-delete row model
+#: (reference: process-and-reingest-release.yaml:226-252) kept queryable.
 PAGES_COLUMNS = [
     ColumnSpec(1, "url", "string"),
     ColumnSpec(2, "warc_ts", "timestamp"),
@@ -58,6 +64,7 @@ PAGES_COLUMNS = [
     ColumnSpec(4, "text", "string"),
     ColumnSpec(5, "lang", "string"),
     ColumnSpec(6, "_seq", "long"),
+    ColumnSpec(7, "_deleted", "boolean"),
 ]
 
 _SPARK_TYPES = {
@@ -262,6 +269,9 @@ class LakeletTable:
 
         cols = [c.name for c in m.columns]
         staging = os.path.join(self.root, f"_staging-{sid}")
+        # writers of live rows may omit the tombstone lineage column
+        if "_deleted" in cols and "_deleted" not in new_bucket_data.columns:
+            new_bucket_data = new_bucket_data.withColumn("_deleted", F.lit(False))
         to_write = new_bucket_data.select("_bucket", *cols)
         if not pre_partitioned:
             # co-locate each bucket into one task so partitionBy emits

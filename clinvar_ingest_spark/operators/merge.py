@@ -123,13 +123,19 @@ def merge_apply(
     )
     is_batch = F.col("_b_url").isNotNull()
     is_delete = F.col("_b_op") == "delete"
+    cur_live = F.col("_c_url").isNotNull() & ~F.coalesce(
+        F.col("_c__deleted"), F.lit(False)
+    )
 
+    # delete winners become TOMBSTONE rows (soft delete): retained with
+    # (warc_ts, _seq, _deleted=True) so late events can never resurrect
+    # a deleted key — mirrors merge_cogroup's classification exactly
     action = (
         F.when(~is_batch, F.lit("keep"))  # untouched key in touched bucket
         .when(~batch_wins, F.lit("keep_late"))  # late event loses
-        .when(is_delete & F.col("_c_url").isNotNull(), F.lit("delete"))
-        .when(is_delete, F.lit("noop_delete"))  # delete of absent key
-        .when(F.col("_c_url").isNull(), F.lit("insert"))
+        .when(is_delete & cur_live, F.lit("delete"))
+        .when(is_delete, F.lit("noop_delete"))  # delete of absent/dead key
+        .when(~cur_live, F.lit("insert"))
         .otherwise(F.lit("update"))
     )
     j = j.withColumn("_action", action)
@@ -148,20 +154,33 @@ def merge_apply(
         n_act("keep_late"),
     )
 
-    survivors = j.filter(
-        F.col("_action").isin("keep", "keep_late", "insert", "update")
-    )
+    # every classified row is written — tombstones included
     take_batch = F.col("_action").isin("insert", "update")
+    tomb = F.col("_action").isin("delete", "noop_delete")
+    wins = take_batch | tomb
 
     def out_col(name: str):
         cur = F.col(f"_c_{name}")
-        if name == "_seq":
-            return F.when(take_batch, F.col("_b_seq")).otherwise(cur).alias(name)
+        if name in ("url", "warc_ts", "_seq"):
+            src = {"url": "_b_url", "warc_ts": "_b_warc_ts", "_seq": "_b_seq"}[name]
+            return F.when(wins, F.col(src)).otherwise(cur).alias(name)
+        if name == "_deleted":
+            return (
+                F.when(wins, tomb)
+                .otherwise(F.coalesce(cur, F.lit(False)))
+                .alias(name)
+            )
         if name in batch_payload:
-            return F.when(take_batch, F.col(f"_b_{name}")).otherwise(cur).alias(name)
-        return cur.alias(name)  # evolved column unknown to this batch
+            return (
+                F.when(take_batch, F.col(f"_b_{name}"))
+                .when(tomb, F.lit(None))
+                .otherwise(cur)
+                .alias(name)
+            )
+        # evolved column unknown to this batch: NULL on tombstone
+        return F.when(tomb, F.lit(None)).otherwise(cur).alias(name)
 
-    new_rows = survivors.select(*[out_col(cn) for cn in table_cols]).withColumn(
+    new_rows = j.select(*[out_col(cn) for cn in table_cols]).withColumn(
         "_bucket", bucket_expr("url", m.n_buckets)
     )
 

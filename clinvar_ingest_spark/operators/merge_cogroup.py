@@ -89,6 +89,8 @@ def _merge_bucket_arrow_fn(table_cols: list[str], batch_cols: list[str]):
 
         in_batch = pc.is_valid(col("b_url"))
         in_cur = pc.is_valid(col("c_url"))
+        c_del = pc.fill_null(col("c__deleted"), False)
+        cur_live = pc.and_(in_cur, pc.invert(c_del))
 
         b_ts, c_ts = col("b_warc_ts"), col("c_warc_ts")
         b_seq, c_seq = col("b_seq"), col("c__seq")
@@ -102,43 +104,63 @@ def _merge_bucket_arrow_fn(table_cols: list[str], batch_cols: list[str]):
         is_del = pc.and_(in_batch, pc.fill_null(pc.equal(col("b_op"), "delete"), False))
 
         ib = in_batch.to_numpy(zero_copy_only=False)
-        ic = in_cur.to_numpy(zero_copy_only=False)
         bw = batch_wins.to_numpy(zero_copy_only=False)
         dl = is_del.to_numpy(zero_copy_only=False)
+        lv = cur_live.to_numpy(zero_copy_only=False)
 
+        # delete winners become TOMBSTONE rows (soft delete): retained
+        # with (warc_ts, _seq, _deleted=True) so later late events lose
+        # the LWW compare instead of resurrecting the key
         action = np.full(n, "keep", dtype=object)
         action[ib & ~bw] = "keep_late"
-        action[bw & dl & ic] = "delete"
-        action[bw & dl & ~ic] = "noop_delete"
-        action[bw & ~dl & ~ic] = "insert"
-        action[bw & ~dl & ic] = "update"
+        action[bw & dl & lv] = "delete"
+        action[bw & dl & ~lv] = "noop_delete"
+        action[bw & ~dl & ~lv] = "insert"
+        action[bw & ~dl & lv] = "update"
         take = (action == "insert") | (action == "update")
+        tomb = bw & dl
         take_arr = pa.array(take)
+        tomb_arr = pa.array(tomb)
+        wins_arr = pa.array(bw)
 
         # --- extraction: only upsert winners leave Arrow ---------------
         c_text = col("c_text")
-        if take.any():
-            take_idx = np.nonzero(take)[0]
-            html_up = col("b_html").take(pa.array(take_idx))
-            extracted = extract_text_series(html_up.to_pandas())
+        if take.any() or tomb.any():
             text_np = c_text.to_numpy(zero_copy_only=False).astype(object)
-            text_np[take_idx] = extracted.to_numpy()
+            if take.any():
+                take_idx = np.nonzero(take)[0]
+                html_up = col("b_html").take(pa.array(take_idx))
+                extracted = extract_text_series(html_up.to_pandas())
+                text_np[take_idx] = extracted.to_numpy()
+            text_np[tomb] = None
             text = pa.array(text_np, type=pa.string())
         else:
             text = c_text
+
+        def payload(cn: str) -> pa.Array:
+            """Batch value on upsert, NULL on tombstone, else current."""
+            cur = col(f"c_{cn}")
+            base = pc.if_else(tomb_arr, pa.nulls(n, cur.type), cur)
+            if cn in batch_set:
+                return pc.if_else(take_arr, col(f"b_{cn}").cast(cur.type), base)
+            return base
 
         cols_out: dict[str, pa.Array] = {}
         for cn in table_cols:
             if cn == "text":
                 cols_out[cn] = text
+            elif cn == "url":
+                cols_out[cn] = pc.if_else(wins_arr, col("b_url"), col("c_url"))
+            elif cn == "warc_ts":
+                cols_out[cn] = pc.if_else(wins_arr, b_ts, c_ts)
             elif cn == "_seq":
                 cols_out[cn] = pc.fill_null(
-                    pc.if_else(take_arr, b_seq, c_seq), -1
+                    pc.if_else(wins_arr, b_seq, c_seq), -1
                 ).cast(pa.int64())
-            elif cn in batch_set:
-                cols_out[cn] = pc.if_else(take_arr, col(f"b_{cn}"), col(f"c_{cn}"))
+            elif cn == "_deleted":
+                cols_out[cn] = pc.if_else(wins_arr, is_del, c_del)
             else:
-                cols_out[cn] = col(f"c_{cn}")
+                cols_out[cn] = payload(cn)
         cols_out["_bucket"] = pc.if_else(
             in_batch, col("b__bucket"), col("c__bucket")
         ).cast(pa.int64())
@@ -182,6 +204,8 @@ def _merge_bucket_fn(table_cols: list[str], batch_cols: list[str]):
         )
         in_batch = m["b_url"].notna()
         in_cur = m["c_url"].notna()
+        c_del = m["c__deleted"].fillna(False).astype(bool)
+        cur_live = in_cur & ~c_del
 
         # late-event guard: batch wins iff no current row or
         # (warc_ts, seq) lexicographically greater
@@ -190,19 +214,24 @@ def _merge_bucket_fn(table_cols: list[str], batch_cols: list[str]):
         newer = (b_ts > c_ts) | ((b_ts == c_ts) & (m["b_seq"] > m["c__seq"]))
         batch_wins = in_batch & (~in_cur | newer.fillna(False))
 
+        # delete winners become TOMBSTONE rows (soft delete) — see the
+        # arrow formulation above for rationale
         is_del = in_batch & (m["b_op"] == "delete")
         action = np.full(len(m), "keep", dtype=object)
         action[(in_batch & ~batch_wins).to_numpy()] = "keep_late"
-        action[(batch_wins & is_del & in_cur).to_numpy()] = "delete"
-        action[(batch_wins & is_del & ~in_cur).to_numpy()] = "noop_delete"
-        action[(batch_wins & ~is_del & ~in_cur).to_numpy()] = "insert"
-        action[(batch_wins & ~is_del & in_cur).to_numpy()] = "update"
+        action[(batch_wins & is_del & cur_live).to_numpy()] = "delete"
+        action[(batch_wins & is_del & ~cur_live).to_numpy()] = "noop_delete"
+        action[(batch_wins & ~is_del & ~cur_live).to_numpy()] = "insert"
+        action[(batch_wins & ~is_del & cur_live).to_numpy()] = "update"
         take = np.isin(action, ("insert", "update"))
+        tomb = (batch_wins & is_del).to_numpy()
+        wins = batch_wins.to_numpy()
 
         # --- extraction: once per surviving upsert only ----------------
         text = m["c_text"].astype(object).copy()
         if take.any():
             text.iloc[take] = extract_text_series(m.loc[take, "b_html"]).to_numpy()
+        text.iloc[tomb] = None
 
         out = {}
         for c in table_cols:
@@ -210,12 +239,15 @@ def _merge_bucket_fn(table_cols: list[str], batch_cols: list[str]):
                 out[c] = text
                 continue
             cur_v = m[f"c_{c}"]
-            if c == "_seq":
-                out[c] = cur_v.where(~take, m["b_seq"])
+            if c in ("url", "warc_ts", "_seq"):
+                src = {"url": "b_url", "warc_ts": "b_warc_ts", "_seq": "b_seq"}[c]
+                out[c] = cur_v.where(~wins, m[src])
+            elif c == "_deleted":
+                out[c] = c_del.where(~wins, is_del)
             elif c in batch_set:
-                out[c] = cur_v.where(~take, m[f"b_{c}"])
+                out[c] = cur_v.where(~tomb, None).where(~take, m[f"b_{c}"])
             else:  # evolved column unknown to this batch
-                out[c] = cur_v
+                out[c] = cur_v.where(~tomb, None)
         res = pd.DataFrame(out)
         # arrow-boundary hygiene: NaN → None in object columns (binary/
         # string types reject float NaN), integral lineage cols re-cast
@@ -298,10 +330,10 @@ def merge_apply_cogrouped(
     def n_act(a: str):
         return F.sum(F.when(F.col("_action") == a, 1).otherwise(0)).alias(a)
 
+    # tombstones (delete/noop_delete) are WRITTEN, not dropped — soft
+    # delete keeps the LWW frontier queryable for late events
     merged = merged.observe(merge_obs, *[n_act(a) for a in _ACTIONS])
-    survivors = merged.filter(
-        ~F.col("_action").isin("delete", "noop_delete")
-    ).drop("_action")
+    survivors = merged.drop("_action")
 
     commit_stats: dict = {}
     sid = table.commit_rewrite(

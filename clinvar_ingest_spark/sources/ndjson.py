@@ -41,23 +41,42 @@ def read_pages_ndjson(spark: SparkSession, path: str) -> DataFrame:
 def diff_slices_to_changelog(
     spark: SparkSession,
     export_dir: str,
-    start_seq: int = 0,
+    start_seq: int,
 ) -> DataFrame:
     """Turn an `export_diff_ndjson` directory into a replayable
     changelog: created/updated → upsert events, deleted → delete events.
     Sequence numbers are assigned deterministically (order by url within
     each slice) from ``start_seq`` — applying the result to a copy of
     the OLD snapshot reproduces the NEW one (the reference's
-    diff-consumer contract, notify-clingen-kafka.py:17-48)."""
+    diff-consumer contract, notify-clingen-kafka.py:17-48).
+
+    **Precondition**: ``start_seq`` MUST exceed the consumer table's max
+    applied ``_seq`` (e.g. ``ledger.last_applied_seq() + 1`` or the
+    producer's seq high-water mark). An 'updated' row whose ``warc_ts``
+    ties the old row's (the producer's LWW was decided by *seq*) would
+    otherwise lose the (warc_ts, seq) tie-break against the old row's
+    larger ``_seq`` and be silently dropped as a late event."""
     import os
 
     from pyspark.sql import Window
 
+    if start_seq <= 0:
+        raise ValueError(
+            "start_seq must be > the consumer's max applied _seq "
+            "(use consumer_ledger.last_applied_seq() + 1); got "
+            f"{start_seq} — timestamp-tied updates would be dropped"
+        )
+
     parts = []
     for kind, op in (("created", "insert"), ("updated", "update"), ("deleted", "delete")):
-        p = os.path.join(export_dir, kind)
-        df = read_pages_ndjson(spark, p).withColumn("op", F.lit(op))
-        parts.append(df)
+        p = os.path.join(export_dir, f"_change={kind}")
+        if not os.path.isdir(p):  # zero-row slice → no partition dir
+            df = spark.createDataFrame([], schema=PAGES_NDJSON_SCHEMA).withColumn(
+                "html", F.unbase64("html")
+            )
+        else:
+            df = read_pages_ndjson(spark, p)
+        parts.append(df.withColumn("op", F.lit(op)))
     all_rows = parts[0]
     for q in parts[1:]:
         all_rows = all_rows.unionByName(q)

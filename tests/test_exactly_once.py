@@ -122,6 +122,31 @@ def test_crash_between_manifest_and_ledger_self_heals(
     assert eng2.ledger.is_committed(last["batch_id"])  # ledger repaired
 
 
+def test_redelivery_after_snapshot_expiry_is_noop(spark, changelog_df, tmp_table_root):
+    """Exactly-once must survive maintenance: after expire_snapshots
+    deletes an old batch's manifest, re-delivering that batch (replay
+    from 0, stream re-tail with a fresh checkpoint) must still no-op —
+    the ledger record alone proves the commit."""
+    from clinvar_ingest_spark.lakelet.maintenance import expire_snapshots
+    from clinvar_ingest_spark.streaming.ledger import batch_id_for
+
+    e = CdcEngine(spark, tmp_table_root, n_buckets=8)
+    e.replay(changelog_df, batch_size=500)  # 4 batches
+    h = e.state_hash()
+    full = e.state_hash(include_tombstones=True)
+    first_rec = dict(e.ledger.get(batch_id_for(0, 499)))
+
+    expire_snapshots(e.table, keep_last=2)
+    assert not e.table.has_snapshot(first_rec["snapshot_id"])  # expired
+
+    b = changelog_df.filter("seq < 500")
+    assert e.apply_batch(b, 0, 499) is None  # no re-merge
+    assert e.state_hash() == h
+    assert e.state_hash(include_tombstones=True) == full
+    # ledger record untouched (no overwrite with a new snapshot id)
+    assert e.ledger.get(batch_id_for(0, 499)) == first_rec
+
+
 def test_lineage_dataframe(spark, changelog_df, tmp_table_root):
     eng = CdcEngine(spark, tmp_table_root, n_buckets=8)
     eng.replay(changelog_df, batch_size=1000)

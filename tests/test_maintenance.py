@@ -53,6 +53,20 @@ def test_rebucket_preserves_state_and_scales_buckets(spark, setup):
     assert eng.state_hash() == ref.state_hash()
 
 
+def test_purge_tombstones_compacts_delete_frontier(spark, setup):
+    from clinvar_ingest_spark.lakelet.maintenance import purge_tombstones
+
+    eng, _cl = setup
+    h = eng.state_hash()
+    assert eng.read().filter("_deleted").count() > 0  # generator emits deletes
+
+    sid = purge_tombstones(spark, eng.table, "2100-01-01 00:00:00")
+    assert eng.state_hash() == h  # logically empty commit
+    assert eng.read().filter("_deleted").count() == 0
+    # idempotent: nothing left to purge
+    assert purge_tombstones(spark, eng.table, "2100-01-01 00:00:00") == sid
+
+
 def test_expire_snapshots_gc(spark, setup):
     eng, _cl = setup
     h = eng.state_hash()

@@ -148,6 +148,48 @@ def test_join_and_cogroup_strategies_agree(spark, changelog_df, tmp_path):
         )
 
 
+def test_late_event_after_delete_does_not_resurrect(spark, tmp_path):
+    """A late (older-warc_ts) event delivered in a batch AFTER the key
+    was deleted must lose the LWW compare against the delete tombstone —
+    not re-insert the key. This is exactly where hard deletes diverge
+    from global LWW semantics; tombstones keep them identical."""
+    import datetime as dt
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = pd.DataFrame(
+        {
+            "seq": np.array([0, 1, 2], dtype="int64"),
+            "op": ["insert", "delete", "update"],
+            "url": ["https://h/x"] * 3,
+            "warc_ts": [
+                t0,
+                t0 + dt.timedelta(hours=2),  # delete is the LWW winner
+                t0 + dt.timedelta(hours=1),  # late update, next batch
+            ],
+            "html": [b"<p>a</p>", None, b"<p>b</p>"],
+            "lang": ["en", None, "en"],
+            "schema_ver": np.array([1, 1, 1], dtype="int32"),
+        }
+    )
+    p = str(tmp_path / "cl.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(rows, schema=changelog_arrow_schema(), preserve_index=False), p
+    )
+    df = spark.read.parquet(p)
+    for strategy in ("cogroup", "join"):
+        eng = CdcEngine(spark, str(tmp_path / f"t_{strategy}"), n_buckets=4,
+                        strategy=strategy)
+        eng.replay(df, batch_size=2)  # delete lands in batch 1, late update in batch 2
+        assert eng.pages().count() == 0, strategy
+        # the tombstone still holds the delete's LWW position
+        tomb = eng.read().filter("_deleted").collect()
+        assert len(tomb) == 1 and tomb[0]["_seq"] == 1, strategy
+
+
 def test_hot_url_skew_replay(spark, tmp_path):
     """North-rule skew path: one url receives ~half of all events (a
     pathological hot key). The bucketed LWW must stay correct — the hot

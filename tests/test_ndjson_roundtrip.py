@@ -34,7 +34,7 @@ def test_export_read_back(spark, tmp_path, changelog_df):
     hist = eng.table.history()
     msg = eng.export_diff_ndjson(hist[1], hist[-1], str(tmp_path / "d"))
 
-    created = read_pages_ndjson(spark, str(tmp_path / "d" / "created"))
+    created = read_pages_ndjson(spark, str(tmp_path / "d" / "_change=created"))
     assert created.count() == msg["counts"]["created"]
     r = created.first()
     assert isinstance(r["html"], (bytes, bytearray))  # base64 round trip

@@ -13,7 +13,8 @@ TS = dt.datetime(2024, 1, 1)
 
 
 def _commit_pages(spark, table, rows, batch_id):
-    cols = [c.name for c in table.manifest().columns]
+    # `_deleted` is backfilled False by commit_rewrite for live-row writers
+    cols = [c.name for c in table.manifest().columns if c.name != "_deleted"]
     df = spark.createDataFrame(rows, cols).withColumn(
         "warc_ts", F.col("warc_ts").cast("timestamp")
     )
