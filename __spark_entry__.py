@@ -391,21 +391,44 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "n_bytes", "first_byte")
 
 
-# ----- weaker (rows-only) checks: non-SQL-expressible operators -----------
+# ----- formerly rows-only operators, now exactly oracle-checked -----------
+# (cross-engine md5-based hash family: clinvar_ingest_spark/functions/xhash.py)
+
+
+def _ensure_cdc_fixture() -> str:
+    """Deterministic changelog parquet at a fixed path — generated
+    idempotently by BOTH the Spark query and oracle_sql(), so whichever
+    side the driver evaluates first creates it; bytes are a pure
+    function of the seeded spec."""
+    from clinvar_ingest_spark.sources.changelog import (
+        ChangelogSpec,
+        generate_changelog,
+        write_changelog_parquet,
+    )
+
+    fixdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".fixtures")
+    path = os.path.join(fixdir, "cdc_changelog_2000x300_seed42.parquet")
+    if not os.path.exists(path):
+        os.makedirs(fixdir, exist_ok=True)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        write_changelog_parquet(
+            generate_changelog(ChangelogSpec(n_events=2000, n_urls=300, seed=42)), tmp
+        )
+        os.replace(tmp, path)  # atomic: concurrent callers race safely
+    return path
 
 
 def q_canonical_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4/F4 parity (canonical JSON, Content.scala:16-48): canonicalize
     the raw props JSON (sorted keys/arrays, compact, empties dropped)
-    and fingerprint it. Rows-only: no portable canonical-JSON in SQL."""
+    and fingerprint it. The UDF runs ONCE per row; the hash derives
+    from the computed column."""
     from clinvar_ingest_spark.functions.canonical_json import canonical_json_udf
 
     ev = _t(spark, sf_dir, "events")
     return ev.select(
-        "event_id",
-        canonical_json_udf(F.col("props")).alias("props_canonical"),
-        F.sha2(canonical_json_udf(F.col("props")), 256).alias("props_fp"),
-    )
+        "event_id", canonical_json_udf(F.col("props")).alias("props_canonical")
+    ).withColumn("props_fp", F.sha2(F.col("props_canonical"), 256))
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -417,7 +440,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clinvar_ingest_spark.operators.dedupe import simhash_near_pairs
 
-    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=12)
+    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -427,12 +450,14 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
     queries = emb.filter(F.col("vec_id") < 10)
-    return lsh_bucket_topk(emb, queries, dim=64, k=5, bits=4)
+    return lsh_bucket_topk(emb, queries, dim=64, k=5, bits=4).select(
+        "query_id", "neighbor_id", "rank"
+    )
 
 
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via SRP-LSH bucketing (approx —
-    candidate set is bucket collisions, so rows-only check)."""
+    """Embedding-cosine near-dup pairs via SRP-LSH bucketing; cosine is
+    reported in exact integer e4 units for cross-engine hashing."""
     from clinvar_ingest_spark.operators.similarity import cosine_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings").withColumn(
@@ -440,29 +465,37 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # 0.3 on random unit vectors ⇒ a small, non-empty near-dup set
     # (real corpora would use ~0.9+)
-    return cosine_dup_pairs(emb, dim=64, threshold=0.3, bits=6)
+    out = cosine_dup_pairs(emb, dim=64, threshold=0.3, bits=6)
+    return out.select(
+        "id_a", "id_b", F.round(F.col("cosine") * 10000, 0).cast("long").alias("cos_e4")
+    ).distinct()
 
 
 def q_cdc_replay_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full engine path on a deterministic synthetic changelog: replay →
-    snapshot table → live pages (non-SQL: stateful multi-batch apply)."""
+    """Full engine path on the deterministic fixture changelog: replay →
+    tombstoned LWW snapshot table → final live state. Oracle-checked:
+    with soft-delete tombstones the engine's multi-batch sequential
+    apply equals the global LWW winner per url minus delete-winners —
+    exactly DuckDB's QUALIFY row_number() over the same parquet
+    (reference semantics: docker/diff/diff.py:117-182 +
+    ArchiveBranches.scala:140-156). `text` is pinned by golden pytest
+    (byte-identical extraction) and excluded here; `html` is compared
+    by sha256, `_seq` proves the winning event, not just the value."""
     import tempfile
 
     from clinvar_ingest_spark.engine import CdcEngine
-    from clinvar_ingest_spark.sources.changelog import (
-        ChangelogSpec,
-        generate_changelog,
-        write_changelog_parquet,
-    )
 
+    clp = _ensure_cdc_fixture()
     tmp = tempfile.mkdtemp(prefix="cdc_replay_")
-    clp = os.path.join(tmp, "changelog.parquet")
-    write_changelog_parquet(
-        generate_changelog(ChangelogSpec(n_events=2000, n_urls=300, seed=42)), clp
-    )
     eng = CdcEngine(spark, os.path.join(tmp, "pages"), n_buckets=8)
     eng.replay(spark.read.parquet(clp), batch_size=500)
-    return eng.pages().select("url", "warc_ts", "text", "lang")
+    return eng.live().select(
+        "url",
+        "warc_ts",
+        "lang",
+        F.sha2(F.col("html"), 256).alias("html_sha"),
+        F.col("_seq").alias("last_seq"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -496,7 +529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ann_topk": q_ann_topk,
         "multimodal_meta": q_multimodal_meta,
-        # rows-only (non-SQL-expressible):
+        # sketch/engine family — exact oracles via cross-engine md5
+        # hashing (functions/xhash.py) + the tombstoned LWW equivalence:
         "canonical_props": q_canonical_props,
         "rolling_fingerprints": q_rolling_fingerprints,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -700,7 +734,205 @@ def oracle_sql() -> dict[str, str]:
                         ELSE ascii(substr(text, 1, 1)) END AS first_byte
             FROM documents
         """,
+        "canonical_props": """
+            -- independent canonicalization for the observed input
+            -- universe: every props row is a flat {"k": <int>} object
+            -- (verified over all sf tiers), whose canonical form is the
+            -- compact render. The Spark side runs the fully generic
+            -- recursive kernel (sort keys + array values, drop empties).
+            SELECT event_id,
+                   regexp_replace(props, '^\\{"k": ', '{"k":') AS props_canonical,
+                   sha256(regexp_replace(props, '^\\{"k": ', '{"k":')) AS props_fp
+            FROM events
+        """,
+        "rolling_fingerprints": r"""
+            -- windows compared by CONTENT here vs 64-bit xxhash64
+            -- fingerprints on the Spark side: distinct counts agree
+            -- unless xxhash64 collides (deterministic data; ~1e-10)
+            WITH tk AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+              FROM documents
+            ),
+            w AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) < 8 THEN []::VARCHAR[]
+                          ELSE list_transform(
+                                 range(1, len(t) - 6),
+                                 i -> array_to_string(list_slice(t, i, i + 7), ' '))
+                     END AS wins
+              FROM tk
+            )
+            SELECT doc_id,
+                   len(wins) AS n_windows,
+                   len(list_distinct(wins)) AS n_distinct_windows
+            FROM w
+        """,
+        "minhash_lsh_pairs": _minhash_lsh_sql(num_hashes=32, bands=16),
+        "simhash_near_pairs": _simhash_pairs_sql(max_hamming=8),
+        "ann_lsh_topk": _ann_lsh_topk_sql(dim=64, k=5, bits=4),
+        "embedding_dup_pairs": _embedding_dup_sql(dim=64, threshold=0.3, bits=6),
+        "cdc_replay_pages": f"""
+            SELECT url, warc_ts, lang,
+                   sha256(decode(html)) AS html_sha,
+                   seq AS last_seq
+            FROM (
+              SELECT *, row_number() OVER (
+                       PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn
+              FROM read_parquet('{_ensure_cdc_fixture()}')
+            ) WHERE rn = 1 AND op <> 'delete'
+        """,
     }
+
+
+# --------------------------------------------------------------------------
+# Oracle-SQL builders for the sketch family — generated from the SAME
+# deterministic constants the Spark operators embed (functions/xhash.py
+# affine params, operators/similarity.srp_planes), so both engines
+# compute bit-identical hashes/buckets.
+# --------------------------------------------------------------------------
+
+_SHINGLE_CTE = r"""
+WITH tk AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, len(t) - 1),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+  FROM tk
+)
+"""
+
+
+def _minhash_lsh_sql(num_hashes: int, bands: int, seed: int = 42) -> str:
+    from clinvar_ingest_spark.functions.xhash import (
+        MERSENNE31,
+        affine_params,
+        md5_long48_sql,
+    )
+
+    r = num_hashes // bands
+    params = affine_params(num_hashes, seed)
+    mins = ",\n         ".join(
+        f"min(({a} * x + {b}) % {MERSENNE31}) AS h{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, "
+        + " || ',' || ".join(f"CAST(h{bi * r + j} AS VARCHAR)" for j in range(r))
+        + " AS bk FROM sig"
+        for bi in range(bands)
+    )
+    return f"""
+{_SHINGLE_CTE},
+hx AS (
+  SELECT doc_id, {md5_long48_sql('shingle')} % {MERSENNE31} AS x FROM sh
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM hx GROUP BY doc_id
+),
+bands AS (
+  {band_rows}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+"""
+
+
+def _simhash_pairs_sql(max_hamming: int) -> str:
+    from clinvar_ingest_spark.functions.xhash import md5_long48_sql
+
+    bits = 48
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    blocks = "\n  UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS blk, (simhash >> {i * 12}) & 4095 AS bv FROM fpall"
+        for i in range(4)
+    )
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents
+),
+hx AS (SELECT doc_id, {md5_long48_sql('tok')} AS h FROM tok),
+v AS (
+  SELECT doc_id,
+         {votes}
+  FROM hx GROUP BY doc_id
+),
+fp AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM v),
+fpall AS (
+  SELECT d.doc_id, coalesce(fp.simhash, 0) AS simhash
+  FROM documents d LEFT JOIN fp USING (doc_id)
+),
+blocks AS (
+  {blocks}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.simhash AS sh_a, b.simhash AS sh_b
+  FROM blocks a JOIN blocks b
+    ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+"""
+
+
+def _srp_bucket_sql(vec_expr: str, dim: int, bits: int, seed: int = 42) -> str:
+    from clinvar_ingest_spark.operators.similarity import srp_planes
+
+    planes = srp_planes(dim, bits, seed)
+    terms = []
+    for b, plane in enumerate(planes):
+        arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, {arr}) > 0 THEN {1 << b} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def _ann_lsh_topk_sql(dim: int, k: int, bits: int) -> str:
+    bucket = _srp_bucket_sql("e", dim, bits)
+    return f"""
+WITH s AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+sb AS (SELECT vec_id, e, {bucket} AS bucket FROM s),
+q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM sb WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, e AS ce, bucket FROM sb)
+SELECT query_id, neighbor_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY list_cosine_similarity(ce, qe) DESC,
+                                   neighbor_id ASC) AS rank
+FROM c JOIN q USING (bucket)
+WHERE neighbor_id <> query_id
+QUALIFY rank <= {k}
+"""
+
+
+def _embedding_dup_sql(dim: int, threshold: float, bits: int) -> str:
+    bucket = _srp_bucket_sql("e", dim, bits)
+    return f"""
+WITH s AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+sb AS (SELECT vec_id, e, {bucket} AS bucket FROM s),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_cosine_similarity(a.e, b.e) AS cosine
+  FROM sb a JOIN sb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT DISTINCT id_a, id_b,
+       CAST(round(cosine * 10000, 0) AS BIGINT) AS cos_e4
+FROM p WHERE cosine >= {threshold}
+"""
 
 
 _LANG_ID_LANGS = ["de", "en", "es", "fr", "it"]

@@ -10,12 +10,15 @@ ArchiveBranches.scala:140-156) to *content*-based dedup over a corpus:
   |pairs sharing ≥1 shingle|, and the Jaccard test is exact integer
   arithmetic (``(t+1)*inter >= t*(|A|+|B|)`` avoids float thresholds).
 - :func:`minhash_signatures` / :func:`minhash_lsh_pairs` —
-  MinHash + banded LSH: signatures via ``xxhash64(shingle, seed_i)``
-  min-reduced per doc (all JVM-side), bands hashed and self-joined so
-  the shuffle carries (band_key) buckets, not O(n²) pairs.
-- :func:`simhash64` — 64-bit SimHash fingerprints (vectorized pandas
-  UDF over token hashes); near-dups = fingerprints within a Hamming
-  radius, found by 4-band exact-match blocking.
+  MinHash + banded LSH: one md5-derived base hash per shingle, k affine
+  permutations, per-position ``min`` aggregates (map-side combine — the
+  shuffle carries one row per doc per map partition), bands self-joined
+  so the shuffle carries (band_key) buckets, not O(n²) pairs. The hash
+  family is DuckDB-expressible, so the output is exactly oracle-checked.
+- :func:`simhash48` — 48-bit SimHash fingerprints, fully JVM-side
+  (explode → hash → 48 conditional-sum bit votes with map-side
+  combine); near-dups = fingerprints within a Hamming radius, found by
+  4-block exact-match blocking. Also oracle-checked.
 
 Scale notes: every candidate generator here is bounded by collision
 group sizes, not corpus size²; hot shingles (stopword-only grams) are
@@ -25,12 +28,7 @@ inverted-index self-joins.
 
 from __future__ import annotations
 
-from typing import Sequence
-
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import ArrayType, LongType
 
 # --------------------------------------------------------------------- exact
 
@@ -132,33 +130,62 @@ def _ratio(threshold: float) -> tuple[int, int]:
 # ---------------------------------------------------------------- minhash/LSH
 
 
+def _minhash_cols(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    num_hashes: int,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, h0..h{k-1}) per-position MinHash values.
+
+    Plan: shingle → ONE md5-derived 48-bit base hash → k affine
+    transforms mod 2^31-1 → ``groupBy(id).agg(min(h_i)…)``. The k
+    per-position ``min`` aggregates keep **map-side partial
+    aggregation** (the shuffle carries one row per (doc, map
+    partition), never the raw shingle stream) — unlike a
+    collect_list+fold formulation, which disables partial agg and
+    materializes |shingles|·k longs per reduce group.
+
+    Hash family from functions/xhash.py: bit-identically computable in
+    DuckDB, so LSH output is exactly oracle-checkable.
+    """
+    from clinvar_ingest_spark.functions.xhash import (
+        MERSENNE31,
+        affine_params,
+        md5_long48,
+    )
+
+    sh = ngram_shingles(df, text_col, id_col, n)
+    x = md5_long48(F.col("shingle")) % MERSENNE31
+    params = affine_params(num_hashes, seed)
+    per = sh.select(
+        "id",
+        *[
+            ((F.lit(a) * x + F.lit(b)) % MERSENNE31).alias(f"h{i}")
+            for i, (a, b) in enumerate(params)
+        ],
+    )
+    return per.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     num_hashes: int = 64,
+    seed: int = 42,
 ) -> DataFrame:
-    """(id, sig: array<long>) MinHash signatures, fully JVM-side.
-
-    hash_i(shingle) = xxhash64(shingle, seed=i); sig[i] = min over the
-    doc's shingles. One shuffle (groupBy id); no Python in the loop.
-    """
-    sh = ngram_shingles(df, text_col, id_col, n)
-    hashes = F.array(
-        *[F.xxhash64(F.col("shingle"), F.lit(i)) for i in range(num_hashes)]
+    """(id, sig: array<long>) MinHash signatures, fully JVM-side with
+    map-side combine (see :func:`_minhash_cols` for the plan notes)."""
+    agg = _minhash_cols(df, text_col, id_col, n, num_hashes, seed)
+    return agg.select(
+        "id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
     )
-    per = sh.select("id", hashes.alias("hs"))
-    # element-wise min across rows: aggregate with zip_with(least)
-    zero = F.array(*[F.lit(2**63 - 1).cast("long")] * num_hashes)
-    agg = per.groupBy("id").agg(
-        F.aggregate(
-            F.collect_list("hs"),
-            zero,
-            lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)),
-        ).alias("sig")
-    )
-    return agg
 
 
 def minhash_lsh_pairs(
@@ -168,42 +195,39 @@ def minhash_lsh_pairs(
     n: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
+    seed: int = 42,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH over MinHash signatures.
 
     rows_per_band = num_hashes/bands; two docs collide if any band of
-    their signatures matches exactly. Shuffle key = (band, band_hash):
-    corpus-size-linear, never pairwise.
+    their signatures matches exactly. Shuffle key = (band, band_key):
+    corpus-size-linear, never pairwise. The band key is the literal
+    value concat — at production scale wrap it in xxhash64 to shrink
+    the shuffle payload (changes no collisions beyond hash collisions).
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
-    band_rows = sig.select(
+    agg = _minhash_cols(df, text_col, id_col, n, num_hashes, seed)
+    band_rows = agg.select(
         "id",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("sig", bi * r + j + 1).cast("string")
-                                    for j in range(r)
-                                ],
-                            )
-                        ).alias("bh"),
+                        F.concat_ws(
+                            ",", *[F.col(f"h{bi * r + j}").cast("string") for j in range(r)]
+                        ).alias("bk"),
                     )
                     for bi in range(bands)
                 ]
             )
         ).alias("b"),
-    ).select("id", "b.band", "b.bh")
-    a = band_rows.select(F.col("id").alias("id_a"), "band", "bh")
-    b = band_rows.select(F.col("id").alias("id_b"), "band", "bh")
+    ).select("id", "b.band", "b.bk")
+    a = band_rows.select(F.col("id").alias("id_a"), "band", "bk")
+    b = band_rows.select(F.col("id").alias("id_b"), "band", "bk")
     return (
-        a.join(b, ["band", "bh"])
+        a.join(b, ["band", "bk"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -212,48 +236,52 @@ def minhash_lsh_pairs(
 
 # -------------------------------------------------------------------- simhash
 
-
-def _simhash64_pdf(tokens: pd.Series) -> pd.Series:
-    """Vectorized SimHash over pre-tokenized docs (numpy bit-votes)."""
-    out = np.zeros(len(tokens), dtype=np.uint64)
-    for i, toks in enumerate(tokens):
-        if toks is None or len(toks) == 0:
-            continue
-        hs = np.array(
-            [np.uint64(hash_token(t)) for t in toks], dtype=np.uint64
-        )
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-            np.int64
-        )
-        votes = bits.sum(axis=0) * 2 - len(hs)  # +1 votes minus -1 votes
-        fp = np.uint64(0)
-        for bit in np.nonzero(votes > 0)[0]:
-            fp |= np.uint64(1) << np.uint64(bit)
-        out[i] = fp
-    return pd.Series(out.astype(np.int64))
+SIMHASH_BITS = 48  # md5-derived 48-bit base hash (functions/xhash.py)
 
 
-def hash_token(t: str) -> int:
-    """Deterministic 64-bit token hash (FNV-1a; stable across runs/processes)."""
-    h = 0xCBF29CE484222325
-    for ch in t.encode("utf-8"):
-        h ^= ch
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
-
-
-@F.pandas_udf(LongType())
-def simhash64_udf(tokens: pd.Series) -> pd.Series:  # pragma: no cover - via Spark
-    return _simhash64_pdf(tokens)
-
-
-def simhash64(
+def simhash48(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, simhash: long) fingerprints."""
-    return df.select(
+    """(id, simhash: long) 48-bit SimHash fingerprints, fully JVM-side.
+
+    Plan: explode tokens → ONE md5-derived 48-bit hash per token (JVM,
+    codegen'd — no Python anywhere) → 48 conditional-sum bit votes via
+    ``groupBy(id).agg(sum(±1)…)`` (map-side partial aggregation) →
+    reassemble the fingerprint. Replaces the earlier pandas-UDF
+    formulation whose per-token Python FNV loop was row-at-a-time work
+    in vectorized clothing.
+
+    Docs with no tokens (NULL/whitespace text) fingerprint to 0.
+    """
+    from clinvar_ingest_spark.functions.xhash import md5_long48
+
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    toks = df.select(
         F.col(id_col).alias("id"),
-        simhash64_udf(tokenize(F.col(text_col))).alias("simhash"),
+        F.explode(tokenize(F.col(text_col))).alias("tok"),
+    )
+    h = md5_long48(F.col("tok"))
+    votes = toks.select(
+        "id",
+        *[
+            F.when(F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+            .alias(f"v{j}")
+            for j in range(SIMHASH_BITS)
+        ],
+    )
+    agg = votes.groupBy("id").agg(
+        *[F.sum(f"v{j}").alias(f"v{j}") for j in range(SIMHASH_BITS)]
+    )
+    fp = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else fp + term
+    agg = agg.select("id", fp.alias("simhash"))
+    return ids.join(agg, "id", "left").select(
+        "id", F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash")
     )
 
 
@@ -264,10 +292,12 @@ def simhash_near_pairs(
     max_hamming: int = 3,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming via 4-block
-    blocking (pigeonhole: ≤3 differing bits → ≥1 of 4 16-bit blocks
-    identical), then exact popcount filter on candidates.
+    blocking over the 48-bit fingerprint (pigeonhole: ≤3 differing bits
+    → ≥1 of 4 12-bit blocks identical; beyond 3 the blocking is a
+    recall<1 candidate generator, like every SimHash index), then exact
+    popcount filter on candidates.
     """
-    fp = simhash64(df, text_col, id_col)
+    fp = simhash48(df, text_col, id_col)
     blocks = fp.select(
         "id",
         "simhash",
@@ -276,8 +306,8 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("blk"),
-                        F.shiftrightunsigned("simhash", i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned("simhash", i * 12)
+                        .bitwiseAND(F.lit(0xFFF))
                         .alias("bv"),
                     )
                     for i in range(4)

@@ -77,6 +77,14 @@ def cosine_topk_bruteforce(
     )
 
 
+def srp_planes(dim: int, bits: int = 8, seed: int = 42) -> list[list[float]]:
+    """Deterministic SRP hyperplanes as plain Python floats — the single
+    source both the Spark plan (literal arrays) and any SQL oracle
+    (literal lists) embed, so bucket assignments agree bit-for-bit."""
+    rng = np.random.default_rng(seed)
+    return [[float(x) for x in row] for row in rng.standard_normal((bits, dim))]
+
+
 def srp_sketch(
     df: DataFrame,
     dim: int,
@@ -86,15 +94,14 @@ def srp_sketch(
     out_col: str = "_bucket",
 ) -> DataFrame:
     """Sign-random-projection bucket id (int) per row, fully JVM-side:
-    bucket bit b = sign(dot(v, hyperplane_b)), hyperplanes from a seeded
-    numpy RNG baked into the plan as literals.
+    bucket bit b = sign(dot(v, hyperplane_b)), hyperplanes from
+    :func:`srp_planes` baked into the plan as literals.
     """
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((bits, dim))
+    planes = srp_planes(dim, bits, seed)
     expr = F.lit(0).cast("long")
     v = F.col(vec_col)
     for b in range(bits):
-        lit_plane = F.array(*[F.lit(float(x)) for x in planes[b]])
+        lit_plane = F.array(*[F.lit(x) for x in planes[b]])
         d = _dot(v, lit_plane)
         expr = expr + F.when(d > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
     return df.withColumn(out_col, expr)

@@ -77,11 +77,34 @@ def test_minhash_signature_properties(docs):
 
 
 def test_simhash(docs):
-    fp = {r["id"]: r["simhash"] for r in dedupe.simhash64(docs).collect()}
+    fp = {r["id"]: r["simhash"] for r in dedupe.simhash48(docs).collect()}
     assert fp[0] == fp[1]
+    assert all(0 <= v < 2**48 for v in fp.values())
     ham02 = bin((fp[0] ^ fp[2]) & (2**64 - 1)).count("1")
     ham03 = bin((fp[0] ^ fp[3]) & (2**64 - 1)).count("1")
     assert ham02 < ham03  # near dup closer than unrelated
+
+
+def test_simhash_python_reference(spark):
+    """Golden check: the JVM bit-vote pipeline equals an independent
+    Python implementation of 48-bit md5-prefix SimHash."""
+    import hashlib
+
+    rows = [(0, "alpha beta beta gamma"), (1, ""), (2, "x")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["id"]: r["simhash"] for r in dedupe.simhash48(df).collect()}
+
+    def ref(text):
+        toks = [t for t in __import__("re").split(r"\s+", text.strip())]
+        votes = [0] * 48
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:12], 16)
+            for j in range(48):
+                votes[j] += 1 if (h >> j) & 1 else -1
+        return sum(1 << j for j in range(48) if votes[j] > 0)
+
+    # NB: tokenize('') yields [''] — one empty token, same both sides
+    assert got == {i: ref(t) for i, t in rows}
 
 
 def test_simhash_near_pairs(docs):
