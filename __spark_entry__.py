@@ -407,7 +407,7 @@ def _ensure_cdc_fixture() -> str:
     )
 
     fixdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".fixtures")
-    path = os.path.join(fixdir, "cdc_changelog_2000x300_seed42.parquet")
+    path = os.path.join(fixdir, "cdc_changelog_2000x300_seed42_v2.parquet")
     if not os.path.exists(path):
         os.makedirs(fixdir, exist_ok=True)
         tmp = f"{path}.tmp-{os.getpid()}"
@@ -493,6 +493,7 @@ def q_cdc_replay_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url",
         "warc_ts",
         "lang",
+        "props",
         F.sha2(F.col("html"), 256).alias("html_sha"),
         F.col("_seq").alias("last_seq"),
     )
@@ -772,7 +773,15 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_lsh_topk_sql(dim=64, k=5, bits=4),
         "embedding_dup_pairs": _embedding_dup_sql(dim=64, threshold=0.3, bits=6),
         "cdc_replay_pages": f"""
+            -- props: the engine canonicalizes the raw `extra` JSON
+            -- (generic recursive kernel); this mirror exploits the
+            -- fixture's fixed two-key shape to canonicalize in SQL
             SELECT url, warc_ts, lang,
+                   '{{"fetch_ms":' ||
+                     regexp_extract(extra, '"fetch_ms": ([0-9]+)', 1) ||
+                   ',"status":' ||
+                     regexp_extract(extra, '"status": ([0-9]+)', 1) || '}}'
+                     AS props,
                    sha256(decode(html)) AS html_sha,
                    seq AS last_seq
             FROM (

@@ -323,6 +323,7 @@ class CdcEngine:
             F.sha2(F.col("html"), 256),
             F.col("text"),
             F.col("lang"),
+            F.col("props"),
         ]
         if include_tombstones:
             df = self.read(snapshot_id)
@@ -331,7 +332,7 @@ class CdcEngine:
                 F.col("_deleted").cast("string"),
             ]
         else:
-            df = self.pages(snapshot_id)
+            df = self.live(snapshot_id)
         h = df.select(F.sha2(F.concat_ws("\x1f", *parts), 256).alias("h"))
         row = h.agg(
             F.sum(F.conv(F.substring("h", 1, 15), 16, 10).cast("decimal(38,0)")).alias("s"),

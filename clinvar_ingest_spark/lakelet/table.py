@@ -65,6 +65,11 @@ PAGES_COLUMNS = [
     ColumnSpec(5, "lang", "string"),
     ColumnSpec(6, "_seq", "long"),
     ColumnSpec(7, "_deleted", "boolean"),
+    #: canonical-JSON residue of unmodeled changelog fields (the
+    #: reference's `content` spill column, README.md:24-28 /
+    #: Content.scala:16-22) — schema drift upstream lands here instead
+    #: of being silently dropped
+    ColumnSpec(8, "props", "string"),
 ]
 
 _SPARK_TYPES = {

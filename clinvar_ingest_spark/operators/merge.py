@@ -55,14 +55,23 @@ class MergeStats:
 
 def reduce_batch(batch: DataFrame) -> DataFrame:
     """LWW-reduce a raw changelog micro-batch to one row per url,
-    then extract text for surviving upserts only.
+    then extract text (and canonicalize the `extra` residue into
+    `props`) for surviving upserts only.
     """
     batch = batch.withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
     latest = lww_latest(batch, keys=("url",), order_by=("warc_ts", "seq"))
-    return latest.withColumn(
+    out = latest.withColumn(
         "text",
         F.when(F.col("op") != "delete", extract_text_udf(F.col("html"))),
     )
+    if "props" not in out.columns and "extra" in out.columns:
+        from clinvar_ingest_spark.functions.canonical_json import canonical_json_udf
+
+        out = out.withColumn(
+            "props",
+            F.when(F.col("op") != "delete", canonical_json_udf(F.col("extra"))),
+        )
+    return out
 
 
 def merge_apply(

@@ -145,9 +145,31 @@ def _merge_bucket_arrow_fn(table_cols: list[str], batch_cols: list[str]):
                 return pc.if_else(take_arr, col(f"b_{cn}").cast(cur.type), base)
             return base
 
+        # props: canonical-JSON residue of unmodeled batch fields
+        # (reference `content` spill, Content.scala:16-22). Sources, in
+        # precedence order: an already-canonical batch `props` column
+        # (diff-slice replay) via the generic payload path; else raw
+        # `extra` JSON canonicalized here for upsert winners only.
+        props = None
+        if "props" in table_cols and "props" not in batch_set and "extra" in batch_set:
+            from clinvar_ingest_spark.functions.canonical_json import (
+                canonical_json_series,
+            )
+
+            c_props = col("c_props")
+            props_np = c_props.to_numpy(zero_copy_only=False).astype(object)
+            if take.any():
+                take_idx = np.nonzero(take)[0]
+                raw = col("b_extra").take(pa.array(take_idx)).to_pandas()
+                props_np[take_idx] = canonical_json_series(raw).to_numpy()
+            props_np[tomb] = None
+            props = pa.array(props_np, type=pa.string())
+
         cols_out: dict[str, pa.Array] = {}
         for cn in table_cols:
-            if cn == "text":
+            if cn == "props" and props is not None:
+                cols_out[cn] = props
+            elif cn == "text":
                 cols_out[cn] = text
             elif cn == "url":
                 cols_out[cn] = pc.if_else(wins_arr, col("b_url"), col("c_url"))
@@ -233,8 +255,25 @@ def _merge_bucket_fn(table_cols: list[str], batch_cols: list[str]):
             text.iloc[take] = extract_text_series(m.loc[take, "b_html"]).to_numpy()
         text.iloc[tomb] = None
 
+        # props residue (see arrow formulation for precedence rules)
+        props = None
+        if "props" in table_cols and "props" not in batch_set and "extra" in batch_set:
+            from clinvar_ingest_spark.functions.canonical_json import (
+                canonical_json_series,
+            )
+
+            props = m["c_props"].astype(object).copy()
+            if take.any():
+                props.iloc[take] = canonical_json_series(
+                    m.loc[take, "b_extra"]
+                ).to_numpy()
+            props.iloc[tomb] = None
+
         out = {}
         for c in table_cols:
+            if c == "props" and props is not None:
+                out[c] = props
+                continue
             if c == "text":
                 out[c] = text
                 continue

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
@@ -42,66 +43,105 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def _decode_bytes(payload: bytes, kind: str, fake: bool) -> list[float]:
-    """STUB decode: replace with a real decoder in production."""
+def _real_decoder():
+    """Optional real decoder (PIL for images), import-gated: absent in
+    this container, so callers use the deterministic stub. Swapping in
+    a real library changes NOTHING else — schema, batching, and
+    partitioning are identical."""
+    try:  # pragma: no cover - library not in container
+        from PIL import Image  # noqa: F401
+
+        import io
+
+        def decode(payload: bytes, kind: str) -> list[float]:
+            if kind != "image" or not payload:
+                return [0.0, 0.0, 0.0, 0.0]
+            img = Image.open(io.BytesIO(payload))
+            import numpy as _np
+
+            arr = _np.asarray(img, dtype=_np.float64)
+            return [
+                float(img.width),
+                float(img.height),
+                float(arr.mean()),
+                float(arr.var()),
+            ]
+
+        return decode
+    except ImportError:
+        return None
+
+
+def _decode_batch(payloads: pd.Series, kinds: pd.Series, fake: bool) -> list[list[float]]:
+    """Numpy-vectorized deterministic stub 'embedding': 4 moments of the
+    byte stream — or the real decoder when its library is installed."""
     if not fake:
-        raise NotImplementedError(
-            "media decode requires PIL/soundfile/pyav — not available in "
-            "this container; pass fake=True for the deterministic stub"
-        )
-    # deterministic fake 'embedding': 4 moments of the byte histogram
-    if payload is None or len(payload) == 0:
-        return [0.0, 0.0, 0.0, 0.0]
-    n = float(len(payload))
-    s = float(sum(payload))
-    mean = s / n
-    var = float(sum((b - mean) ** 2 for b in payload[:256])) / min(n, 256.0)
-    return [n, mean, var, float(payload[0])]
+        real = _real_decoder()
+        if real is None:
+            raise NotImplementedError(
+                "media decode requires PIL/soundfile/pyav — not available "
+                "in this container; pass fake=True for the deterministic "
+                "stub (same schema/batching, fake feature values)"
+            )
+        return [real(b, k) for b, k in zip(payloads, kinds)]
+    out = []
+    for b in payloads:
+        if b is None or len(b) == 0:
+            out.append([0.0, 0.0, 0.0, 0.0])
+            continue
+        a = np.frombuffer(b, dtype=np.uint8)
+        n = float(len(a))
+        mean = float(a.mean())
+        head = a[:256].astype(np.float64)
+        var = float(((head - mean) ** 2).sum()) / min(n, 256.0)
+        out.append([n, mean, var, float(a[0])])
+    return out
 
 
 def extract_media_features(
     df: DataFrame, fake: bool = True, batch_size_hint: int = 256
 ) -> DataFrame:
-    """mapInPandas over (media_id, kind, payload, meta) → FEATURE_SCHEMA.
+    """(media_id, kind, payload, meta) → FEATURE_SCHEMA.
 
-    Arrow streams binary batches; per-batch work is vectorized where the
-    container allows. Partitioning is preserved (narrow transform) — at
-    scale, repartition upstream by size, not count, so batches of large
+    Byte-level features (size, first byte, checksum) are computed
+    JVM-side as column expressions — full payloads never cross the
+    Python boundary for them (`xxhash64` is a codegen'd intrinsic; the
+    old FNV implementation looped Python per byte). Only the decode
+    step ships payload bytes to Python, Arrow-batched via mapInPandas,
+    and the stub decode is numpy-vectorized per buffer.
+
+    Partitioning is preserved (narrow transform) — at scale,
+    repartition upstream by size, not count, so batches of large
     videos don't OOM a worker (spark.sql.files.maxPartitionBytes analog
     for in-flight media is the caller's repartition policy).
     """
+    with_meta = df.select(
+        "media_id",
+        "kind",
+        "payload",
+        F.coalesce(F.length("payload"), F.lit(0)).cast("long").alias("n_bytes"),
+        F.when(
+            F.coalesce(F.length("payload"), F.lit(0)) == 0, F.lit(-1)
+        )
+        .otherwise(F.conv(F.hex(F.substring("payload", 1, 1)), 16, 10).cast("int"))
+        .alias("first_byte"),
+        F.xxhash64("payload").alias("checksum64"),
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf["payload"]
-            out = pd.DataFrame(
+            yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
-                    "first_byte": payloads.map(
-                        lambda b: int(b[0]) if b else -1
-                    ).astype("int32"),
-                    "checksum64": payloads.map(_fnv64),
-                    "feature": [
-                        _decode_bytes(b, k, fake)
-                        for b, k in zip(payloads, pdf["kind"])
-                    ],
+                    "n_bytes": pdf["n_bytes"],
+                    "first_byte": pdf["first_byte"],
+                    "checksum64": pdf["checksum64"],
+                    "feature": _decode_batch(pdf["payload"], pdf["kind"], fake),
                 }
             )
-            yield out
 
-    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
-
-
-def _fnv64(b: bytes | None) -> int:
-    if b is None:
-        return 0
-    h = 0xCBF29CE484222325
-    for ch in b:
-        h ^= ch
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h - 2**63  # signed long
+    return with_meta.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
 def documents_as_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -7,7 +7,12 @@ fully-deterministic stream of insert/update/delete events over
 Common-Crawl-style web pages — FIXTURES.md §2 schema:
 
     (seq:long, op:string, url:string, warc_ts:timestamp,
-     html:binary, lang:string, schema_ver:int)
+     html:binary, lang:string, schema_ver:int, extra:string)
+
+``extra`` carries unmodeled upstream fields as raw (non-canonical) JSON
+— the analogue of the evolving-source fields the reference spills into
+its ``content`` column (reference: README.md:24-28, Content.scala:16-22);
+the engine canonicalizes it into the table's ``props`` column.
 
 Properties (all seeded; default seed=42):
 - host skew: urls drawn over hosts with a Zipf-like distribution so a
@@ -45,7 +50,9 @@ _WORDS = np.array(
     ).split()
 )
 
-CHANGELOG_COLUMNS = ["seq", "op", "url", "warc_ts", "html", "lang", "schema_ver"]
+CHANGELOG_COLUMNS = [
+    "seq", "op", "url", "warc_ts", "html", "lang", "schema_ver", "extra",
+]
 
 _EPOCH = np.datetime64("2024-01-01T00:00:00", "us")
 
@@ -248,6 +255,25 @@ def _render_html_vec(urls: np.ndarray, bodies: np.ndarray, langs: np.ndarray) ->
     return html.cast(pa.binary())
 
 
+_STATUSES = np.array(["200", "200", "200", "301", "404", "500"])  # 200-heavy
+
+
+def _extra_json(seed: int, ev_index: np.ndarray) -> np.ndarray:
+    """Deterministic unmodeled-field JSON per event, rendered in a
+    deliberately NON-canonical form (unsorted keys, spaces) so the
+    engine's canonicalization does real work."""
+    h = _splitmix64(ev_index.astype(np.uint64) * np.uint64(0x2545F491) + np.uint64(seed))
+    status = _STATUSES[(h % np.uint64(len(_STATUSES))).astype(np.int64)]
+    fetch_ms = ((h >> np.uint64(8)) % np.uint64(5000)).astype(np.int64).astype(str)
+    import pyarrow.compute as pc
+
+    return np.asarray(
+        pc.binary_join_element_wise(
+            '{"status": ', status, ', "fetch_ms": ', fetch_ms, "}", ""
+        )
+    )
+
+
 def _render_rows(spec: ChangelogSpec, meta: dict, lo: int, hi: int) -> pd.DataFrame:
     """Materialize output rows [lo, hi) of the expanded stream."""
     ix = meta["ev_index"][lo:hi]
@@ -265,12 +291,14 @@ def _render_rows(spec: ChangelogSpec, meta: dict, lo: int, hi: int) -> pd.DataFr
             "html": html,
             "lang": langs,
             "schema_ver": np.full(hi - lo, spec.schema_ver, dtype=np.int32),
+            "extra": _extra_json(spec.seed, ix),
         }
     )
     # delete events carry no payload (FIXTURES.md §2)
     is_del = df["op"] == "delete"
     df.loc[is_del, "html"] = None
     df.loc[is_del, "lang"] = None
+    df.loc[is_del, "extra"] = None
     return df
 
 
@@ -323,6 +351,7 @@ def changelog_arrow_schema() -> pa.Schema:
             ("html", pa.binary()),
             ("lang", pa.string()),
             ("schema_ver", pa.int32()),
+            ("extra", pa.string()),
         ]
     )
 

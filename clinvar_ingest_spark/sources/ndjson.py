@@ -23,6 +23,7 @@ PAGES_NDJSON_SCHEMA = T.StructType(
         T.StructField("html", T.StringType()),  # base64
         T.StructField("text", T.StringType()),
         T.StructField("lang", T.StringType()),
+        T.StructField("props", T.StringType()),  # canonical JSON residue
     ]
 )
 
@@ -84,5 +85,8 @@ def diff_slices_to_changelog(
     return (
         all_rows.withColumn("seq", F.row_number().over(w) + F.lit(start_seq - 1))
         .withColumn("schema_ver", F.lit(1))
-        .select("seq", "op", "url", "warc_ts", "html", "lang", "schema_ver", "text")
+        .select(
+            "seq", "op", "url", "warc_ts", "html", "lang", "schema_ver",
+            "text", "props",
+        )
     )

@@ -42,6 +42,7 @@ CHANGELOG_SCHEMA = T.StructType(
         T.StructField("html", T.BinaryType()),
         T.StructField("lang", T.StringType()),
         T.StructField("schema_ver", T.IntegerType()),
+        T.StructField("extra", T.StringType()),
     ]
 )
 

@@ -10,9 +10,12 @@ from clinvar_ingest_spark.lakelet.table import LakeletTable, bucket_expr
 
 
 def _pages_df(spark, rows):
-    return spark.createDataFrame(
+    df = spark.createDataFrame(
         rows, "url string, warc_ts timestamp, html binary, text string, lang string, _seq long"
     )
+    # data columns a bare-table writer may omit ( _deleted is backfilled
+    # by commit_rewrite; props is a regular nullable column)
+    return df.withColumn("props", F.lit(None).cast("string"))
 
 
 TS = dt.datetime(2024, 1, 1)

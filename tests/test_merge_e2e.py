@@ -173,6 +173,7 @@ def test_late_event_after_delete_does_not_resurrect(spark, tmp_path):
             "html": [b"<p>a</p>", None, b"<p>b</p>"],
             "lang": ["en", None, "en"],
             "schema_ver": np.array([1, 1, 1], dtype="int32"),
+            "extra": ['{"a": 1}', None, '{"a": 2}'],
         }
     )
     p = str(tmp_path / "cl.parquet")

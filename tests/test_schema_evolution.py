@@ -14,10 +14,12 @@ TS = dt.datetime(2024, 1, 1)
 
 def _commit_pages(spark, table, rows, batch_id):
     # `_deleted` is backfilled False by commit_rewrite for live-row writers
-    cols = [c.name for c in table.manifest().columns if c.name != "_deleted"]
+    cols = [c.name for c in table.manifest().columns if c.name not in ("_deleted", "props")]
     df = spark.createDataFrame(rows, cols).withColumn(
         "warc_ts", F.col("warc_ts").cast("timestamp")
     )
+    if "props" in [c.name for c in table.manifest().columns]:
+        df = df.withColumn("props", F.lit(None).cast("string"))
     df = df.withColumn("_bucket", bucket_expr("url", table.manifest().n_buckets))
     buckets = [r["_bucket"] for r in df.select("_bucket").distinct().collect()]
     return table.commit_rewrite(spark, df, buckets, batch_id)
