@@ -471,6 +471,36 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
+def q_fanout_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 fan-out parity: single parse pass → 9 tagged entity streams,
+    LWW-deduped to each url's winning event (ArchiveBranches.scala
+    52-119). Oracle mirrors both the dedup (QUALIFY) and every entity's
+    extraction regex (RE2) over the same fixture changelog."""
+    from clinvar_ingest_spark.operators.fanout import (
+        lww_winning_events,
+        parse_entities,
+    )
+
+    cl = spark.read.parquet(_ensure_cdc_fixture())
+    tagged = parse_entities(lww_winning_events(cl))
+    return tagged.groupBy("entity_type").agg(F.count("*").alias("n"))
+
+
+def q_link_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-entity id fixup parity (VCV.scala:167-174): links resolve
+    against the sibling page stream after href normalization."""
+    from clinvar_ingest_spark.operators.fanout import (
+        fanout,
+        lww_winning_events,
+        resolve_link_targets,
+    )
+
+    cl = spark.read.parquet(_ensure_cdc_fixture())
+    frames = fanout(lww_winning_events(cl), dedup=False)
+    resolved = resolve_link_targets(frames["_tagged"])
+    return resolved.groupBy("target_kind").agg(F.count("*").alias("n"))
+
+
 def q_cdc_replay_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full engine path on the deterministic fixture changelog: replay →
     tombstoned LWW snapshot table → final live state. Oracle-checked:
@@ -538,6 +568,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": q_simhash_near_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
+        "fanout_entities": q_fanout_entities,
+        "link_targets": q_link_targets,
         "cdc_replay_pages": q_cdc_replay_pages,
     }
 
@@ -768,6 +800,8 @@ def oracle_sql() -> dict[str, str]:
                    len(list_distinct(wins)) AS n_distinct_windows
             FROM w
         """,
+        "fanout_entities": _fanout_entities_sql(),
+        "link_targets": _link_targets_sql(),
         "minhash_lsh_pairs": _minhash_lsh_sql(num_hashes=32, bands=16),
         "simhash_near_pairs": _simhash_pairs_sql(max_hamming=8),
         "ann_lsh_topk": _ann_lsh_topk_sql(dim=64, k=5, bits=4),
@@ -799,6 +833,75 @@ def oracle_sql() -> dict[str, str]:
 # affine params, operators/similarity.srp_planes), so both engines
 # compute bit-identical hashes/buckets.
 # --------------------------------------------------------------------------
+
+# RE2 mirrors of operators/fanout.py's pinned extraction patterns
+_FANOUT_PATTERNS = {
+    "link": r'(?i)href\s*=\s*["\']([^"\'>\s]+)["\']',
+    "title": r"(?is)<title[^>]*>(.*?)</title\s*>",
+    "heading": r"(?is)<h[1-6][^>]*>(.*?)</h[1-6]\s*>",
+    "anchor": r"(?is)<a\b[^>]*>(.*?)</a\s*>",
+    "meta_lang": r'(?i)<html[^>]+lang\s*=\s*"([^"]*)"',
+    "image": r'(?i)<img\b[^>]*src\s*=\s*["\']([^"\'>\s]+)["\']',
+}
+_RE_SCRIPT_SQL = r"(?i)<script\b"
+
+
+def _sqlq(pattern: str) -> str:
+    """Escape a regex for embedding in a single-quoted SQL literal."""
+    return pattern.replace("'", "''")
+
+
+def _winners_cte() -> str:
+    """LWW-winning non-deleted events of the fixture changelog."""
+    return f"""
+WITH win AS (
+  SELECT url, warc_ts, decode(html) AS h
+  FROM (
+    SELECT *, row_number() OVER (
+             PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn
+    FROM read_parquet('{_ensure_cdc_fixture()}')
+  ) WHERE rn = 1 AND op <> 'delete'
+)
+"""
+
+
+def _fanout_entities_sql() -> str:
+    arms = [
+        "SELECT 'page' AS entity_type, count(*) AS n FROM win",
+        "SELECT 'host', count(*) FROM win",
+        "SELECT 'script', count(*) FROM win "
+        f"WHERE len(regexp_extract_all(h, '{_sqlq(_RE_SCRIPT_SQL)}')) > 0",
+    ]
+    for entity, pat in _FANOUT_PATTERNS.items():
+        arms.append(
+            f"SELECT '{entity}', CAST(coalesce(sum("
+            f"len(regexp_extract_all(h, '{_sqlq(pat)}'))), 0) AS BIGINT) FROM win"
+        )
+    union = "\n  UNION ALL ".join(arms)
+    return f"""
+{_winners_cte()}
+SELECT entity_type, n FROM (
+  {union}
+) WHERE n > 0
+"""
+
+
+def _link_targets_sql() -> str:
+    href = _sqlq(_FANOUT_PATTERNS["link"])
+    return f"""
+{_winners_cte()},
+links AS (
+  SELECT unnest(regexp_extract_all(h, '{href}', 1)) AS href FROM win
+),
+pages AS (SELECT DISTINCT url FROM win)
+SELECT CASE WHEN p.url IS NOT NULL THEN 'internal' ELSE 'external' END
+         AS target_kind,
+       count(*) AS n
+FROM (SELECT regexp_replace(href, '[?#].*$', '') AS nh FROM links) l
+LEFT JOIN pages p ON l.nh = p.url
+GROUP BY 1
+"""
+
 
 _SHINGLE_CTE = r"""
 WITH tk AS (

@@ -6,15 +6,29 @@ outputs + 1 main output (ArchiveBranches.scala:52-113); Beam guarantees
 the input is read once. Spark has no side outputs, so the same shape
 is: parse once into a tagged long-thin DataFrame (one row per emitted
 entity) → ``persist()`` → N filtered projections/writes. The persist
-replaces Beam's single-pass guarantee — without it Catalyst re-runs the
-parse per action.
+replaces Beam's single-pass guarantee.
 
-Entities emitted per page event here (the web analogue of the
-reference's entity split):
+Entities emitted per page event (the web analogue of the reference's
+15-way entity split):
 
-- ``page``  — the page itself (url, ts, lang, text length)
-- ``link``  — one row per outgoing href found in the html
-- ``host``  — one row per page for per-host rollups
+- ``page``      — the page itself (k=lang, n=len(text))
+- ``host``      — one row per page for per-host rollups (k=host)
+- ``link``      — one row per outgoing href (k=href)
+- ``title``     — <title> contents (k=title)
+- ``heading``   — one row per <h1>-<h6> (k=heading text)
+- ``anchor``    — one row per <a> inner text (k=text)
+- ``meta_lang`` — declared <html lang=…> (k=lang attr)
+- ``script``    — one row per page that carries <script> tags (n=count)
+- ``image``     — one row per <img src=…> (k=src)
+
+Two post-parse operators mirror the reference's stream treatments:
+
+- :func:`fanout` with ``dedup=True`` — LWW dedup: entities derive from
+  each url's latest non-deleted event only (reference ``dedupByDate``
+  applied to 5 of its 15 streams, ArchiveBranches.scala:115-119,140-156).
+- :func:`resolve_link_targets` — cross-entity id fixup: link hrefs are
+  normalized and resolved against the page stream to attach the target
+  page's id (reference's SCV-accession rewrite, VCV.scala:167-174).
 
 Parsing is one Arrow-batched pandas pass (mapInPandas) — the html is
 decoded exactly once per event, like the reference's single parse.
@@ -36,14 +50,33 @@ ENTITY_SCHEMA = T.StructType(
         T.StructField("entity_type", T.StringType()),
         T.StructField("url", T.StringType()),
         T.StructField("warc_ts", T.TimestampType()),
-        T.StructField("k", T.StringType()),   # entity-specific key (href, host)
+        T.StructField("k", T.StringType()),   # entity-specific key
         T.StructField("v", T.StringType()),   # entity-specific value
         T.StructField("n", T.LongType()),     # entity-specific measure
     ]
 )
 
+ENTITY_TYPES = (
+    "page", "host", "link", "title", "heading", "anchor",
+    "meta_lang", "script", "image",
+)
+
+#: streams the reference would LWW-dedup (ArchiveBranches.scala:115-119)
+DEDUP_ENTITY_TYPES = ("page", "host", "link", "title", "meta_lang")
+
+# Patterns are pinned (like the extractor): every one has an exact RE2
+# mirror used by the DuckDB oracle, so keep them RE2-compatible.
 _RE_HREF = re.compile(r'(?i)href\s*=\s*["\']([^"\'>\s]+)["\']')
 _RE_HOST = re.compile(r"^[a-z]+://([^/]+)")
+_RE_TITLE = re.compile(r"(?is)<title[^>]*>(.*?)</title\s*>")
+_RE_HEADING = re.compile(r"(?is)<h[1-6][^>]*>(.*?)</h[1-6]\s*>")
+_RE_ANCHOR = re.compile(r"(?is)<a\b[^>]*>(.*?)</a\s*>")
+_RE_META_LANG = re.compile(r'(?i)<html[^>]+lang\s*=\s*"([^"]*)"')
+_RE_SCRIPT = re.compile(r"(?i)<script\b")
+_RE_IMG_SRC = re.compile(r'(?i)<img\b[^>]*src\s*=\s*["\']([^"\'>\s]+)["\']')
+
+#: href → canonical target url (strip query + fragment)
+_RE_HREF_NORM = r"[?#].*$"
 
 
 def parse_entities(changelog: DataFrame) -> DataFrame:
@@ -53,6 +86,23 @@ def parse_entities(changelog: DataFrame) -> DataFrame:
     events (html NULL) emit nothing.
     """
 
+    def _per_match(pdf: pd.DataFrame, html: pd.Series, pat, entity: str):
+        """One output row per regex capture-group match."""
+        found = html.str.findall(pat)
+        counts = found.map(len)
+        if counts.sum() == 0:
+            return None
+        return pd.DataFrame(
+            {
+                "entity_type": entity,
+                "url": pdf["url"].repeat(counts).to_numpy(),
+                "warc_ts": pdf["warc_ts"].repeat(counts).to_numpy(),
+                "k": [m for ms in found for m in ms],
+                "v": None,
+                "n": 1,
+            }
+        )
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf[pdf["html"].notna()]
@@ -60,9 +110,8 @@ def parse_entities(changelog: DataFrame) -> DataFrame:
                 continue
             html = pdf["html"].map(
                 lambda b: b.decode("utf-8", "replace") if b is not None else ""
-            )
+            ).astype("string")
             text = extract_text_series(pdf["html"])
-            # page entity
             yield pd.DataFrame(
                 {
                     "entity_type": "page",
@@ -73,7 +122,6 @@ def parse_entities(changelog: DataFrame) -> DataFrame:
                     "n": text.str.len().astype("int64"),
                 }
             )
-            # host entity
             hosts = pdf["url"].str.extract(_RE_HOST, expand=False)
             yield pd.DataFrame(
                 {
@@ -85,51 +133,106 @@ def parse_entities(changelog: DataFrame) -> DataFrame:
                     "n": 1,
                 }
             )
-            # link entities (explode hrefs)
-            links = html.map(_RE_HREF.findall)
-            counts = links.map(len)
-            if counts.sum() > 0:
+            for pat, entity in (
+                (_RE_HREF, "link"),
+                (_RE_TITLE, "title"),
+                (_RE_HEADING, "heading"),
+                (_RE_ANCHOR, "anchor"),
+                (_RE_META_LANG, "meta_lang"),
+                (_RE_IMG_SRC, "image"),
+            ):
+                out = _per_match(pdf, html, pat, entity)
+                if out is not None:
+                    yield out
+            scripts = html.str.count(_RE_SCRIPT)
+            withs = scripts > 0
+            if withs.any():
                 yield pd.DataFrame(
                     {
-                        "entity_type": "link",
-                        "url": pdf["url"].repeat(counts).to_numpy(),
-                        "warc_ts": pdf["warc_ts"].repeat(counts).to_numpy(),
-                        "k": [h for hs in links for h in hs],
+                        "entity_type": "script",
+                        "url": pdf.loc[withs, "url"],
+                        "warc_ts": pdf.loc[withs, "warc_ts"],
+                        "k": None,
                         "v": None,
-                        "n": 1,
+                        "n": scripts[withs].astype("int64"),
                     }
                 )
 
     return changelog.mapInPandas(run, schema=ENTITY_SCHEMA)
 
 
+def lww_winning_events(changelog: DataFrame) -> DataFrame:
+    """Latest non-deleted event per url by (warc_ts, seq) — the stream
+    the reference's dedup'd entity branches see (dedupByDate,
+    ArchiveBranches.scala:140-156)."""
+    from clinvar_ingest_spark.operators.lww import lww_latest
+
+    latest = lww_latest(changelog, keys=("url",), order_by=("warc_ts", "seq"))
+    return latest.filter(F.col("op") != "delete")
+
+
 def fanout(
     changelog: DataFrame,
-    entity_types: tuple[str, ...] = ("page", "host", "link"),
+    entity_types: tuple[str, ...] = ENTITY_TYPES,
+    dedup: bool = False,
 ) -> dict[str, DataFrame]:
     """Parse once, return one filtered projection per entity type.
 
-    The tagged frame is persisted so the N downstream actions share one
-    parse (Beam side-output parity); call ``unpersist_fanout`` (or let
-    the context expire) when done.
+    ``dedup=True`` first LWW-reduces the changelog so every stream
+    derives from each url's winning event only. The tagged frame is
+    persisted so the N downstream actions share one parse (Beam
+    side-output parity); call ``unpersist`` via the returned
+    ``_tagged`` frame (or let the context expire) when done.
     """
-    tagged = parse_entities(changelog).persist()
+    src = lww_winning_events(changelog) if dedup else changelog
+    tagged = parse_entities(src).persist()
     out: dict[str, DataFrame] = {"_tagged": tagged}
     for et in entity_types:
         out[et] = tagged.filter(F.col("entity_type") == et).drop("entity_type")
     return out
 
 
+def resolve_link_targets(tagged: DataFrame) -> DataFrame:
+    """Cross-entity id fixup (reference VCV.scala:167-174: internal id →
+    accession rewrite by scanning the sibling stream): normalize each
+    link's href (strip query/fragment) and resolve it against the page
+    stream, attaching the target page id when the link is internal.
+
+    Plan: the page-url dim is distinct urls only — broadcast when small;
+    at 100 TB both sides hash-join on the url key (AQE decides).
+    """
+    pages = (
+        tagged.filter(F.col("entity_type") == "page")
+        .select(F.col("url").alias("_target_url"))
+        .distinct()
+        .withColumn("target_page_id", F.md5(F.col("_target_url")))
+    )
+    links = tagged.filter(F.col("entity_type") == "link").withColumn(
+        "_norm_href", F.regexp_replace(F.col("k"), _RE_HREF_NORM, "")
+    )
+    return (
+        links.join(pages, links["_norm_href"] == pages["_target_url"], "left")
+        .withColumn(
+            "target_kind",
+            F.when(F.col("target_page_id").isNotNull(), F.lit("internal")).otherwise(
+                F.lit("external")
+            ),
+        )
+        .drop("_target_url")
+    )
+
+
 def write_fanout(
     changelog: DataFrame,
     out_dir: str,
-    entity_types: tuple[str, ...] = ("page", "host", "link"),
+    entity_types: tuple[str, ...] = ENTITY_TYPES,
+    dedup: bool = False,
 ) -> dict[str, int]:
     """Fan out to one parquet table per entity (reference: 15 JSON-list
     sinks, ClinVarPipelineBuilder.scala:39-113). Returns row counts."""
     import os
 
-    frames = fanout(changelog, entity_types)
+    frames = fanout(changelog, entity_types, dedup=dedup)
     tagged = frames.pop("_tagged")
     counts: dict[str, int] = {}
     try:

@@ -4,6 +4,7 @@ import re
 
 import pandas as pd
 import pyarrow as pa
+from pyspark.sql import functions as F
 import pyarrow.parquet as pq
 import pytest
 
@@ -56,8 +57,63 @@ def test_fanout_entities_match_oracle(spark, changelog_df, changelog_pdf):
 
 
 def test_write_fanout_tables(spark, changelog_df, tmp_path):
+    from clinvar_ingest_spark.operators.fanout import ENTITY_TYPES
+
     counts = write_fanout(changelog_df, str(tmp_path / "out"))
-    assert set(counts) == {"page", "host", "link"}
+    assert set(counts) == set(ENTITY_TYPES)
     pages = spark.read.parquet(str(tmp_path / "out" / "page"))
     assert pages.count() == counts["page"]
     assert {f.name for f in pages.schema.fields} == {"url", "warc_ts", "k", "v", "n"}
+    # the generated html template carries title/h1/anchors/scripts but no <img>
+    assert counts["title"] == counts["page"] == counts["script"] == counts["meta_lang"]
+    assert counts["heading"] > 0 and counts["anchor"] >= counts["link"] > 0
+    assert counts["image"] == 0
+
+
+def test_fanout_dedup_streams(spark, changelog_df, changelog_pdf):
+    """Reference parity (ArchiveBranchesSpec.scala:50-228): dedup'd
+    streams keep entities from each key's LATEST non-deleted event only."""
+    frames = fanout(changelog_df, dedup=True)
+    try:
+        winners = (
+            changelog_pdf.sort_values(["warc_ts", "seq"])
+            .groupby("url")
+            .tail(1)
+        )
+        winners = winners[winners["op"] != "delete"]
+        assert frames["page"].count() == len(winners)
+        # one row per live url; the row's warc_ts is the winner's
+        got = {r["url"]: r["warc_ts"] for r in frames["page"].collect()}
+        want = dict(zip(winners["url"], winners["warc_ts"]))
+        assert got == want
+    finally:
+        frames["_tagged"].unpersist()
+
+
+def test_resolve_link_targets_cross_entity_fixup(spark, changelog_df):
+    """Reference parity (VCV.scala:167-174): links resolve against the
+    sibling page stream; self-links (href = url + query suffix)
+    normalize to internal, the index.example.org links stay external."""
+    from clinvar_ingest_spark.operators.fanout import fanout, resolve_link_targets
+
+    frames = fanout(changelog_df, dedup=True)
+    try:
+        resolved = resolve_link_targets(frames["_tagged"])
+        by_kind = {
+            r["target_kind"]: r["cnt"]
+            for r in resolved.groupBy("target_kind").agg(F.count("*").alias("cnt")).collect()
+        }
+        n_pages = frames["page"].count()
+        # every page links to itself (?ref=self) → internal after
+        # normalization; and to the external index
+        assert by_kind["internal"] == n_pages
+        assert by_kind["external"] == n_pages
+        # internal targets carry the page id (md5 of the target url)
+        row = resolved.filter("target_kind = 'internal'").first()
+        import hashlib
+
+        assert row["target_page_id"] == hashlib.md5(
+            row["_norm_href"].encode()
+        ).hexdigest()
+    finally:
+        frames["_tagged"].unpersist()
