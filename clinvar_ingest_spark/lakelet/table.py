@@ -272,6 +272,9 @@ class LakeletTable:
                 stats_out["skipped"] = True
             return sid
 
+        import time as _time
+
+        t0 = _time.time()
         cols = [c.name for c in m.columns]
         staging = os.path.join(self.root, f"_staging-{sid}")
         # writers of live rows may omit the tombstone lineage column
@@ -289,6 +292,7 @@ class LakeletTable:
             .parquet(staging)
         )
 
+        t_write_done = _time.time()
         os.makedirs(self.data_dir, exist_ok=True)
         promotions: list[tuple[str, str, int]] = []  # (src, rel, bucket)
         for bdir in sorted(glob.glob(os.path.join(staging, "_bucket=*"))):
@@ -321,6 +325,11 @@ class LakeletTable:
             for fe in new_entries:
                 per_bucket[fe.bucket] = per_bucket.get(fe.bucket, 0) + fe.rows
             stats_out["bucket_rows"] = per_bucket
+            # phase decomposition for the scaling evidence: the Spark
+            # write (parallel) vs the driver-side promote+manifest
+            # (the plan's only serial section)
+            stats_out["write_secs"] = round(t_write_done - t0, 4)
+            stats_out["commit_secs"] = round(_time.time() - t_write_done, 4)
 
         touched = set(int(b) for b in touched_buckets)
         kept = [f for f in m.files if f.bucket not in touched]

@@ -51,6 +51,8 @@ class MergeStats:
     touched_buckets: int
     watermark: str | None = None  # max warc_ts seen in the batch (ISO)
     bucket_rows: dict = field(default_factory=dict)  # per-bucket lineage
+    write_secs: float = 0.0   # Spark write job (parallel phase)
+    commit_secs: float = 0.0  # driver-side promote+manifest (serial phase)
 
 
 def reduce_batch(batch: DataFrame) -> DataFrame:
@@ -227,4 +229,6 @@ def merge_apply(
         touched_buckets=len(touched),
         watermark=wm.isoformat() if wm is not None else None,
         bucket_rows=commit_stats.get("bucket_rows", {}),
+        write_secs=commit_stats.get("write_secs", 0.0),
+        commit_secs=commit_stats.get("commit_secs", 0.0),
     )

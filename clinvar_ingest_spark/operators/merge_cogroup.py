@@ -405,4 +405,6 @@ def merge_apply_cogrouped(
         touched_buckets=len(touched),
         watermark=wm.isoformat() if wm is not None else None,
         bucket_rows=commit_stats.get("bucket_rows", {}),
+        write_secs=commit_stats.get("write_secs", 0.0),
+        commit_secs=commit_stats.get("commit_secs", 0.0),
     )

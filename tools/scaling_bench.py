@@ -28,33 +28,52 @@ from clinvar_ingest_spark.session import get_spark
 from clinvar_ingest_spark.engine import CdcEngine
 
 cores = int(sys.argv[1]); changelog = sys.argv[2]; workdir = sys.argv[3]
-batches = int(sys.argv[4])
+batches = int(sys.argv[4]); n_buckets = int(sys.argv[5])
 spark = get_spark(app_name=f"scaling_{{cores}}", master=f"local[{{cores}}]")
 cl = spark.read.parquet(changelog)
 bounds = cl.selectExpr("min(seq) lo", "max(seq) hi").collect()[0]
 n = int(bounds["hi"]) - int(bounds["lo"]) + 1
 # JVM/codegen/python-worker warmup outside the timed region, through the
 # same code path (small table thrown away afterwards)
-warm = CdcEngine(spark, os.path.join(workdir, f"warm{{cores}}_{{os.getpid()}}"), n_buckets=32)
+warm = CdcEngine(spark, os.path.join(workdir, f"warm{{cores}}_{{os.getpid()}}"), n_buckets=n_buckets)
 warm.replay(cl.limit(2000), batch_size=2000)
 shutil.rmtree(os.path.join(workdir, f"warm{{cores}}_{{os.getpid()}}"), ignore_errors=True)
 
+def cpu_busy_jiffies():
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    idle = vals[3] + vals[4]  # idle + iowait
+    return sum(vals) - idle, sum(vals)
+
 tdir = os.path.join(workdir, f"pages{{cores}}_{{os.getpid()}}")
-eng = CdcEngine(spark, tdir, n_buckets=32)
+eng = CdcEngine(spark, tdir, n_buckets=n_buckets)
+busy0, all0 = cpu_busy_jiffies()
 t0 = time.time()
 stats = eng.replay(cl, batch_size=max(n // batches, 1))
 wall = time.time() - t0
+busy1, all1 = cpu_busy_jiffies()
+# whole-machine average cores busy during the timed region: local[N]
+# UDF stages legitimately use ~2N cores (N JVM task threads + N python
+# worker PROCESSES pipelined via Arrow), so slot-based N→4N ratios
+# undercount the true core scaling — report both.
+hz = os.sysconf("SC_CLK_TCK")
+cores_busy = (busy1 - busy0) / hz / wall
 events = sum(s.n_events for s in stats)
 print(json.dumps({{"cores": cores, "events": events, "sec": round(wall, 3),
                   "events_per_sec": round(events / wall, 1),
                   "rows": eng.pages().count(),
+                  "write_secs": round(sum(s.write_secs for s in stats), 3),
+                  "commit_secs": round(sum(s.commit_secs for s in stats), 3),
+                  "cores_busy_avg": round(cores_busy, 2),
                   "state_hash": eng.state_hash()}}))
 shutil.rmtree(tdir, ignore_errors=True)
 """
 
 
 def run_level(
-    cores: int, changelog: str, workdir: str, batches: int, driver_mem: str = "8g"
+    cores: int, changelog: str, workdir: str, batches: int,
+    driver_mem: str = "8g", n_buckets: int = 128,
 ) -> dict:
     script = RUNNER.format(repo=REPO)
     env = dict(
@@ -68,7 +87,8 @@ def run_level(
         GLIBC_TUNABLES="glibc.cpu.hwcaps=-AVX512F",
     )
     out = subprocess.run(
-        [sys.executable, "-c", script, str(cores), changelog, workdir, str(batches)],
+        [sys.executable, "-c", script, str(cores), changelog, workdir,
+         str(batches), str(n_buckets)],
         capture_output=True, text=True, timeout=3600, env=env,
     )
     if out.returncode != 0:
@@ -97,6 +117,10 @@ def main() -> None:
                     help="best-of-k per level, interleaved N/4N to decorrelate host noise")
     ap.add_argument("--changelog", default=None,
                     help="reuse an existing changelog parquet instead of generating")
+    ap.add_argument("--n-buckets", type=int, default=None,
+                    help="table bucket count; default 4*max(n,xn) per the "
+                         "engine's n_buckets >> cores sizing rule "
+                         "(merge_cogroup.py plan notes)")
     ap.add_argument("--tmpfs", action="store_true",
                     help="put workdir + spark.local.dir on /dev/shm — isolates "
                          "CPU scaling from the sandbox's single virtio disk "
@@ -130,11 +154,13 @@ def main() -> None:
             clp,
         )
 
+    n_buckets = args.n_buckets or max(32, 4 * max(args.n, args.xn))
     runs_n, runs_xn = [], []
     for rep in range(args.repeats):
         for cores, sink in ((args.n, runs_n), (args.xn, runs_xn)):
             try:
-                sink.append(run_level(cores, clp, workdir, args.batches, args.driver_mem))
+                sink.append(run_level(cores, clp, workdir, args.batches,
+                                      args.driver_mem, n_buckets))
                 print(f"rep {rep} local[{cores}]: {sink[-1]['events_per_sec']} ev/s",
                       file=sys.stderr)
             except Exception as e:  # flaky-substrate runs are retried next rep
@@ -156,6 +182,18 @@ def main() -> None:
         "pass": eff >= 0.8,
         "state_hash_identical": True,
     }
+    if r_n.get("cores_busy_avg") and r_xn.get("cores_busy_avg"):
+        # normalize by cores actually consumed: local[N] runs the
+        # python UDF workers as EXTRA processes beyond the N JVM task
+        # slots, so the slot ratio overstates the resource ratio
+        core_ratio = r_xn["cores_busy_avg"] / r_n["cores_busy_avg"]
+        result["cores_busy"] = {
+            f"local[{args.n}]": r_n["cores_busy_avg"],
+            f"local[{args.xn}]": r_xn["cores_busy_avg"],
+        }
+        result["core_normalized_efficiency"] = round(
+            (r_xn["events_per_sec"] / r_n["events_per_sec"]) / core_ratio, 3
+        )
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
