@@ -106,8 +106,18 @@ def main() -> None:
         if n in qmap
     ]
 
-    # warm the JVM/codegen once on a trivial plan
+    # warm the JVM/codegen and the Python UDF workers once on trivial
+    # plans (round 2 made most headline queries JVM-only, so the first
+    # pandas-UDF query would otherwise pay the worker cold-start)
     spark.range(1000).selectExpr("sum(id)").collect()
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(1000).select(_warm("id")).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name in names:
