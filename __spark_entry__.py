@@ -471,6 +471,18 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-dedup decision: near-dup pairs → connected components →
+    keeper per cluster (iterative min-label propagation; the scalable
+    Spark form of the union-find the pairwise operators leave to the
+    caller). Oracle: DuckDB WITH RECURSIVE transitive closure over the
+    same Jaccard pair set."""
+    from clinvar_ingest_spark.operators.dedupe import dedup_cluster_assignment
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_cluster_assignment(docs, n=3, threshold=0.5, max_shingle_df=1000)
+
+
 def q_fanout_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 fan-out parity: single parse pass → 9 tagged entity streams,
     LWW-deduped to each url's winning event (ArchiveBranches.scala
@@ -568,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": q_simhash_near_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "fanout_entities": q_fanout_entities,
         "link_targets": q_link_targets,
         "cdc_replay_pages": q_cdc_replay_pages,
@@ -800,6 +813,7 @@ def oracle_sql() -> dict[str, str]:
                    len(list_distinct(wins)) AS n_distinct_windows
             FROM w
         """,
+        "dedup_clusters": _dedup_clusters_sql(threshold=0.5),
         "fanout_entities": _fanout_entities_sql(),
         "link_targets": _link_targets_sql(),
         "minhash_lsh_pairs": _minhash_lsh_sql(num_hashes=32, bands=16),
@@ -833,6 +847,46 @@ def oracle_sql() -> dict[str, str]:
 # affine params, operators/similarity.srp_planes), so both engines
 # compute bit-identical hashes/buckets.
 # --------------------------------------------------------------------------
+
+def _dedup_clusters_sql(threshold: float) -> str:
+    from fractions import Fraction
+
+    fr = Fraction(threshold).limit_denominator(10_000)
+    p, q = fr.numerator, fr.denominator
+    return rf"""
+WITH RECURSIVE g AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(
+             range(1, len(string_split_regex(trim(text), '\s+')) - 1),
+             i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+                  string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+                  string_split_regex(trim(text), '\s+')[i+2]
+           )
+         ) AS sh
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh)) * {q} >=
+        {p} * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+)
+SELECT id AS doc_id,
+       min(r) AS cluster_id,
+       (id = min(r)) AS is_keeper
+FROM reach GROUP BY id
+"""
+
 
 # RE2 mirrors of operators/fanout.py's pinned extraction patterns
 _FANOUT_PATTERNS = {

@@ -234,6 +234,83 @@ def minhash_lsh_pairs(
     )
 
 
+# --------------------------------------------------- cluster / keeper decision
+
+
+def connected_components(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """(id, cluster_id) — connected components over near-dup pairs by
+    iterative min-label propagation; cluster_id = min doc id in the
+    component. This is the step that turns pairwise candidates into an
+    actionable KEEP/DROP decision for corpus dedup.
+
+    Plan: labels start as self; each round joins the symmetrized edge
+    list against current labels and takes the per-node min
+    (`groupBy(id).agg(min)` — map-side combine), with `localCheckpoint`
+    truncating the growing lineage each round and an `observe`-free
+    single count action detecting the fixpoint. Rounds needed = graph
+    diameter (near-dup clusters are shallow; typically ≤ 5). At 10⁹+
+    nodes swap the propagation step for the alternating large-star /
+    small-star variant (same join shape, provably O(log n) rounds) —
+    the driver loop and fixpoint test stay identical.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = ids.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        neigh = edges.join(
+            labels.withColumnRenamed("id", "src"), "src"
+        ).select(F.col("dst").alias("id"), "cluster_id")
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_cluster_assignment(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """End-to-end corpus dedup decision: n-gram-Jaccard near-dup pairs →
+    connected components → one keeper per cluster (the min id).
+    Returns (doc_id, cluster_id, is_keeper)."""
+    pairs = jaccard_candidate_pairs(
+        df, text_col, id_col, n, threshold, max_shingle_df
+    )
+    ids = df.select(F.col(id_col))
+    comp = connected_components(ids, pairs, id_col)
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        (F.col("id") == F.col("cluster_id")).alias("is_keeper"),
+    )
+
+
 # -------------------------------------------------------------------- simhash
 
 SIMHASH_BITS = 48  # md5-derived 48-bit base hash (functions/xhash.py)

@@ -57,6 +57,32 @@ def test_jaccard_hot_shingle_cap(spark):
     assert without.count() > 0
 
 
+def test_connected_components_label_propagation(spark):
+    ids = spark.createDataFrame([(i,) for i in range(7)], ["id"])
+    # chain 0-1-2, pair 3-4, pair 5-6, bridge 2-5 => {0,1,2,5,6}, {3,4}
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4), (5, 6), (2, 5)], ["id_a", "id_b"]
+    )
+    comp = {
+        r["id"]: r["cluster_id"]
+        for r in dedupe.connected_components(ids, pairs).collect()
+    }
+    assert comp == {0: 0, 1: 0, 2: 0, 5: 0, 6: 0, 3: 3, 4: 3}
+
+
+def test_dedup_cluster_assignment(docs):
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+        for r in dedupe.dedup_cluster_assignment(
+            docs, threshold=0.5, max_shingle_df=None
+        ).collect()
+    }
+    # 0,1 exact dups; 2 near-dup of 0 (j=0.75); 3,5 exact dups; 4 alone
+    assert out[0] == (0, True) and out[1] == (0, False) and out[2] == (0, False)
+    assert out[3] == (3, True) and out[5] == (3, False)
+    assert out[4] == (4, True)
+
+
 def test_minhash_lsh_finds_exact_and_near_dups(docs):
     pairs = {
         (r["id_a"], r["id_b"])
