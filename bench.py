@@ -110,14 +110,11 @@ def main() -> None:
     # plans (round 2 made most headline queries JVM-only, so the first
     # pandas-UDF query would otherwise pay the worker cold-start)
     spark.range(1000).selectExpr("sum(id)").collect()
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.functions import col, pandas_udf
 
-    @pandas_udf("long")
-    def _warm(s: pd.Series) -> pd.Series:
-        return s
-
-    spark.range(1000).select(_warm("id")).write.format("noop").mode("overwrite").save()
+    _warm = pandas_udf(lambda s: s, "long")  # lambda: immune to
+    # `from __future__ import annotations` breaking type inference
+    spark.range(1000).select(_warm(col("id"))).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name in names:
