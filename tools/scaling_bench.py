@@ -29,6 +29,13 @@ from clinvar_ingest_spark.engine import CdcEngine
 
 cores = int(sys.argv[1]); changelog = sys.argv[2]; workdir = sys.argv[3]
 batches = int(sys.argv[4]); n_buckets = int(sys.argv[5])
+pin = int(sys.argv[6])
+if pin:
+    # Pin the WHOLE process tree (JVM + python UDF workers inherit the
+    # affinity mask) to exactly `cores` physical cores: local[N] alone
+    # bounds only JVM task slots, and the python workers would
+    # otherwise run on extra cores, overstating small-N throughput.
+    os.sched_setaffinity(0, set(range(cores)))
 spark = get_spark(app_name=f"scaling_{{cores}}", master=f"local[{{cores}}]")
 cl = spark.read.parquet(changelog)
 bounds = cl.selectExpr("min(seq) lo", "max(seq) hi").collect()[0]
@@ -73,7 +80,7 @@ shutil.rmtree(tdir, ignore_errors=True)
 
 def run_level(
     cores: int, changelog: str, workdir: str, batches: int,
-    driver_mem: str = "8g", n_buckets: int = 128,
+    driver_mem: str = "8g", n_buckets: int = 128, pin: bool = False,
 ) -> dict:
     script = RUNNER.format(repo=REPO)
     env = dict(
@@ -88,7 +95,7 @@ def run_level(
     )
     out = subprocess.run(
         [sys.executable, "-c", script, str(cores), changelog, workdir,
-         str(batches), str(n_buckets)],
+         str(batches), str(n_buckets), str(int(pin))],
         capture_output=True, text=True, timeout=3600, env=env,
     )
     if out.returncode != 0:
@@ -117,6 +124,10 @@ def main() -> None:
                     help="best-of-k per level, interleaved N/4N to decorrelate host noise")
     ap.add_argument("--changelog", default=None,
                     help="reuse an existing changelog parquet instead of generating")
+    ap.add_argument("--pin", action="store_true",
+                    help="sched_setaffinity each level to exactly its core "
+                         "count (JVM + python workers inherit) — makes the "
+                         "N:4N resource ratio exact in local mode")
     ap.add_argument("--n-buckets", type=int, default=None,
                     help="table bucket count; default 4*max(n,xn) per the "
                          "engine's n_buckets >> cores sizing rule "
@@ -160,7 +171,7 @@ def main() -> None:
         for cores, sink in ((args.n, runs_n), (args.xn, runs_xn)):
             try:
                 sink.append(run_level(cores, clp, workdir, args.batches,
-                                      args.driver_mem, n_buckets))
+                                      args.driver_mem, n_buckets, args.pin))
                 print(f"rep {rep} local[{cores}]: {sink[-1]['events_per_sec']} ev/s",
                       file=sys.stderr)
             except Exception as e:  # flaky-substrate runs are retried next rep
