@@ -471,6 +471,33 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
+def q_schema_evolution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 end-to-end: replay half the fixture changelog, evolve the
+    schema (add + rename — metadata-only commits, zero data rewritten),
+    replay the rest. Old files are read through col-id name-mapping; the
+    final state must equal a plain full-stream LWW with the renamed
+    column and NULL backfill — which is exactly what the oracle mirrors."""
+    import tempfile
+
+    from clinvar_ingest_spark.engine import CdcEngine
+
+    clp = _ensure_cdc_fixture()
+    tmp = tempfile.mkdtemp(prefix="cdc_evolve_")
+    cl = spark.read.parquet(clp)
+    eng = CdcEngine(spark, os.path.join(tmp, "pages"), n_buckets=8)
+    eng.replay(cl.filter(F.col("seq") < 1000), batch_size=500)
+    eng.table.add_column("fetch_status", "int")
+    eng.table.rename_column("lang", "language")
+    eng.replay(cl, batch_size=500, from_seq=1000)
+    return eng.live().select(
+        "url",
+        "warc_ts",
+        "language",
+        "fetch_status",
+        F.col("_seq").alias("last_seq"),
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-dedup decision: near-dup pairs → connected components →
     keeper per cluster (iterative min-label propagation; the scalable
@@ -581,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "schema_evolution_replay": q_schema_evolution_replay,
         "fanout_entities": q_fanout_entities,
         "link_targets": q_link_targets,
         "cdc_replay_pages": q_cdc_replay_pages,
@@ -814,6 +842,20 @@ def oracle_sql() -> dict[str, str]:
             FROM w
         """,
         "dedup_clusters": _dedup_clusters_sql(threshold=0.5),
+        "schema_evolution_replay": f"""
+            -- add/rename are metadata-only: values equal the plain LWW
+            -- of the full stream, with lang surfaced under its new name
+            -- and the added column NULL-backfilled everywhere
+            SELECT url, warc_ts,
+                   lang AS language,
+                   CAST(NULL AS INTEGER) AS fetch_status,
+                   seq AS last_seq
+            FROM (
+              SELECT *, row_number() OVER (
+                       PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn
+              FROM read_parquet('{_ensure_cdc_fixture()}')
+            ) WHERE rn = 1 AND op <> 'delete'
+        """,
         "fanout_entities": _fanout_entities_sql(),
         "link_targets": _link_targets_sql(),
         "minhash_lsh_pairs": _minhash_lsh_sql(num_hashes=32, bands=16),

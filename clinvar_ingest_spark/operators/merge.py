@@ -119,8 +119,13 @@ def merge_apply(
     # batch come from the batch on insert/update, the rest carry over
     # from the current row (post-evolution columns backfill as NULL
     # on insert).
+    from clinvar_ingest_spark.operators.merge_cogroup import batch_alias_map
+
     table_cols = [cs.name for cs in m.columns]
     batch_payload = set(reduced.columns)
+    # renamed-table-column → batch-column map (changelogs produced
+    # against an older schema version keep the old upstream name)
+    alias = batch_alias_map(m, list(reduced.columns))
 
     b = reduced.select(*[F.col(cn).alias(f"_b_{cn}") for cn in reduced.columns])
     c = current.select(
@@ -181,9 +186,10 @@ def merge_apply(
                 .otherwise(F.coalesce(cur, F.lit(False)))
                 .alias(name)
             )
-        if name in batch_payload:
+        src = alias.get(name, name)
+        if src in batch_payload:
             return (
-                F.when(take_batch, F.col(f"_b_{name}"))
+                F.when(take_batch, F.col(f"_b_{src}"))
                 .when(tomb, F.lit(None))
                 .otherwise(cur)
                 .alias(name)

@@ -45,7 +45,33 @@ from clinvar_ingest_spark.operators.merge import MergeStats
 _ACTIONS = ("insert", "update", "delete", "noop_delete", "keep_late")
 
 
-def _merge_bucket_arrow_fn(table_cols: list[str], batch_cols: list[str]):
+def batch_alias_map(manifest, batch_cols: list[str]) -> dict[str, str]:
+    """table-column → batch-column mapping across RENAMES: a changelog
+    produced against an older schema version still carries the old
+    upstream name (e.g. batch `lang` after the table renamed it to
+    `language`). The manifest's col-id history recovers the link —
+    without it a rename silently freezes the column (updates would
+    carry the stale current value). Key columns (url/warc_ts/seq) are
+    structural and not renameable through this path."""
+    current = {c.name for c in manifest.columns}
+    alias: dict[str, str] = {}
+    for tc in manifest.columns:
+        if tc.name in batch_cols:
+            continue  # batch speaks the current name already
+        for ver in sorted(manifest.schemas, reverse=True):
+            old = next(
+                (c.name for c in manifest.schemas[ver] if c.col_id == tc.col_id),
+                None,
+            )
+            if old and old != tc.name and old in batch_cols and old not in current:
+                alias[tc.name] = old
+                break
+    return alias
+
+
+def _merge_bucket_arrow_fn(
+    table_cols: list[str], batch_cols: list[str], alias: dict[str, str] | None = None
+):
     """Arrow-native per-bucket merge (`applyInArrow`): payloads stay in
     Arrow buffers end-to-end — 13 KB html/text cells never materialize
     as Python bytes except for the rows actually being extracted.
@@ -55,6 +81,7 @@ def _merge_bucket_arrow_fn(table_cols: list[str], batch_cols: list[str]):
     guard, extraction once per surviving upsert.
     """
     batch_set = set(batch_cols)
+    alias = alias or {}
 
     def merge_bucket(b: pa.Table, c: pa.Table) -> pa.Table:
         # --- LWW: sort (url, warc_ts, seq); keep last row per url -----
@@ -138,11 +165,13 @@ def _merge_bucket_arrow_fn(table_cols: list[str], batch_cols: list[str]):
             text = c_text
 
         def payload(cn: str) -> pa.Array:
-            """Batch value on upsert, NULL on tombstone, else current."""
+            """Batch value on upsert, NULL on tombstone, else current.
+            ``alias`` maps renamed table columns to their batch name."""
             cur = col(f"c_{cn}")
             base = pc.if_else(tomb_arr, pa.nulls(n, cur.type), cur)
-            if cn in batch_set:
-                return pc.if_else(take_arr, col(f"b_{cn}").cast(cur.type), base)
+            src = alias.get(cn, cn)
+            if src in batch_set:
+                return pc.if_else(take_arr, col(f"b_{src}").cast(cur.type), base)
             return base
 
         # props: canonical-JSON residue of unmodeled batch fields
@@ -192,16 +221,19 @@ def _merge_bucket_arrow_fn(table_cols: list[str], batch_cols: list[str]):
     return merge_bucket
 
 
-def _merge_bucket_fn(table_cols: list[str], batch_cols: list[str]):
+def _merge_bucket_fn(
+    table_cols: list[str], batch_cols: list[str], alias: dict[str, str] | None = None
+):
     """Build the per-bucket pandas merge function.
 
     ``table_cols`` — current table schema (includes ``_seq``);
-    ``batch_cols`` — changelog columns present in the batch.
-    Output: table_cols + ``_bucket`` + ``_action``; all classified rows
-    are emitted (delete/noop_delete tagged rows are filtered before the
-    write but counted by an ``observe`` above the filter).
+    ``batch_cols`` — changelog columns present in the batch;
+    ``alias`` — renamed-table-column → batch-column map (see
+    :func:`batch_alias_map`). Output: table_cols + ``_bucket`` +
+    ``_action``; every classified row is emitted (tombstones included).
     """
     batch_set = set(batch_cols)
+    alias = alias or {}
 
     def merge_bucket(bdf: pd.DataFrame, cdf: pd.DataFrame) -> pd.DataFrame:
         out_cols = table_cols + ["_bucket", "_action"]
@@ -283,8 +315,9 @@ def _merge_bucket_fn(table_cols: list[str], batch_cols: list[str]):
                 out[c] = cur_v.where(~wins, m[src])
             elif c == "_deleted":
                 out[c] = c_del.where(~wins, is_del)
-            elif c in batch_set:
-                out[c] = cur_v.where(~tomb, None).where(~take, m[f"b_{c}"])
+            elif alias.get(c, c) in batch_set:
+                src = alias.get(c, c)
+                out[c] = cur_v.where(~tomb, None).where(~take, m[f"b_{src}"])
             else:  # evolved column unknown to this batch
                 out[c] = cur_v.where(~tomb, None)
         res = pd.DataFrame(out)
@@ -356,12 +389,13 @@ def merge_apply_cogrouped(
             T.StructField("_action", T.StringType()),
         ]
     )
+    alias = batch_alias_map(m, list(b.columns))
     cg = b.groupBy("_bucket").cogroup(current.groupBy("_bucket"))
     if use_arrow:
-        afn = _merge_bucket_arrow_fn(table_cols, b.columns)
+        afn = _merge_bucket_arrow_fn(table_cols, b.columns, alias)
         merged = cg.applyInArrow(lambda left, right: afn(left, right), schema=out_schema)
     else:
-        fn = _merge_bucket_fn(table_cols, b.columns)
+        fn = _merge_bucket_fn(table_cols, b.columns, alias)
         merged = cg.applyInPandas(lambda left, right: fn(left, right), schema=out_schema)
 
     merge_obs = Observation()

@@ -56,6 +56,42 @@ def test_rename_without_rewrite(spark, table):
     assert got == {"u1": "en", "u2": "de"}
 
 
+def test_rename_then_ingest_maps_old_batch_name(spark, tmp_path):
+    """A changelog produced against the OLD schema (column `lang`) must
+    still update the renamed table column (`language`) — the manifest's
+    col-id history maps old batch names to current columns. Regression:
+    before the alias map, updates silently froze the renamed column."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clinvar_ingest_spark.engine import CdcEngine
+    from clinvar_ingest_spark.sources.changelog import (
+        ChangelogSpec,
+        changelog_arrow_schema,
+        generate_changelog,
+    )
+
+    pdf = generate_changelog(ChangelogSpec(n_events=600, n_urls=100, seed=17))
+    p = str(tmp_path / "cl.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=changelog_arrow_schema(), preserve_index=False), p
+    )
+    cl = spark.read.parquet(p)
+    for strategy in ("cogroup", "join"):
+        eng = CdcEngine(spark, str(tmp_path / strategy), n_buckets=4, strategy=strategy)
+        eng.replay(cl.filter("seq < 300"), batch_size=300)
+        eng.table.rename_column("lang", "language")
+        eng.replay(cl, batch_size=300, from_seq=300)
+
+        winners = (
+            pdf.sort_values(["warc_ts", "seq"]).groupby("url").tail(1)
+        )
+        winners = winners[winners["op"] != "delete"].set_index("url")
+        got = {r["url"]: r["language"] for r in eng.live().collect()}
+        want = dict(winners["lang"])
+        assert got == want, strategy
+
+
 def test_widen_without_rewrite(spark, tmp_path):
     cols = [
         ColumnSpec(1, "url", "string"),
