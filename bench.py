@@ -44,6 +44,9 @@ HEADLINE = [
     "simhash_near_pairs",
     "ann_topk",
     "multimodal_meta",
+    "dedup_clusters",
+    "fanout_entities",
+    "link_targets",
 ]
 
 

@@ -258,10 +258,14 @@ def connected_components(
     small-star variant (same join shape, provably O(log n) rounds) —
     the driver loop and fixpoint test stay identical.
     """
+    # materialize the edge list ONCE: it is re-joined every round, and
+    # upstream candidate generation (shingle self-join) is far more
+    # expensive than the propagation itself
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = ids.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id")
