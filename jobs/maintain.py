@@ -1,0 +1,66 @@
+"""spark-submit entry point: lakelet table maintenance.
+
+The lifecycle operations the reference delegates to TDR/BigQuery
+(staging TTL, docker/diff/diff.py:41-56) plus the engine's own
+(re-bucketing as the keyspace grows; tombstone compaction past the
+lateness bound). Every operation is a logically-empty commit — the
+live state hash is unchanged.
+
+Usage:
+
+    spark-submit --py-files dist/clinvar_ingest_spark.zip jobs/maintain.py \
+        --table /lake/pages --rebucket 512
+    ... --table /lake/pages --expire-keep 5
+    ... --table /lake/pages --purge-tombstones-before '2024-06-01 00:00:00'
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__.split("\n", 1)[0])
+    p.add_argument("--table", required=True, help="lakelet table root")
+    p.add_argument("--rebucket", type=int, help="rewrite under N hash buckets")
+    p.add_argument("--expire-keep", type=int,
+                   help="expire all but the last N snapshots + GC data files")
+    p.add_argument("--purge-tombstones-before", metavar="TS",
+                   help="drop delete tombstones with warc_ts < TS (ISO)")
+    p.add_argument("--master", default="submit")
+    args = p.parse_args(argv)
+    if not (args.rebucket or args.expire_keep or args.purge_tombstones_before):
+        p.error("pick at least one maintenance operation")
+
+    from clinvar_ingest_spark.engine import CdcEngine
+    from clinvar_ingest_spark.lakelet.maintenance import (
+        expire_snapshots,
+        purge_tombstones,
+        rebucket,
+    )
+    from clinvar_ingest_spark.session import get_spark
+
+    spark = get_spark(app_name="lakelet_maintain", master=args.master)
+    eng = CdcEngine(spark, args.table)
+    before = eng.state_hash()
+    out: dict = {"table": args.table, "state_hash": before}
+
+    if args.rebucket:
+        out["rebucket_snapshot"] = rebucket(spark, eng.table, args.rebucket)
+    if args.purge_tombstones_before:
+        out["purge_snapshot"] = purge_tombstones(
+            spark, eng.table, args.purge_tombstones_before
+        )
+    if args.expire_keep:
+        out["expire"] = expire_snapshots(eng.table, keep_last=args.expire_keep)
+
+    after = eng.state_hash()
+    out["state_hash_unchanged"] = after == before
+    print(json.dumps(out))
+    return 0 if out["state_hash_unchanged"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
