@@ -36,7 +36,7 @@ from clinvar_ingest_spark.lakelet.manifest import (
 from clinvar_ingest_spark.lakelet.table import (
     LakeletTable,
     bucket_expr,
-    _parquet_rows,
+    _parquet_stats,
 )
 
 
@@ -77,11 +77,12 @@ def rebucket(
         for i, p in enumerate(sorted(glob.glob(os.path.join(bdir, "*.parquet")))):
             rel = f"data/b{b:05d}-{sid}-{i}.parquet"
             os.replace(p, os.path.join(table.root, rel))
+            rows, ts_min, ts_max = _parquet_stats(os.path.join(table.root, rel))
             new_entries.append(
                 FileEntry(
-                    path=rel, bucket=b,
-                    rows=_parquet_rows(os.path.join(table.root, rel)),
+                    path=rel, bucket=b, rows=rows,
                     schema_version=m.schema_version,
+                    ts_min=ts_min, ts_max=ts_max,
                 )
             )
     import shutil
@@ -128,8 +129,13 @@ def purge_tombstones(
         F.coalesce(F.col("_deleted"), F.lit(False))
         & (F.col("warc_ts") < F.lit(older_than).cast("timestamp"))
     )
+    # the detection scan prunes at the MANIFEST level: files whose
+    # footer-stat warc_ts range starts after the cutoff can't hold an
+    # old tombstone and are never handed to Spark
     touched = table.touched_buckets(
-        table.read(spark).filter(is_old_tomb).select(table.key_col)
+        table.read(spark, ts_not_after=older_than)
+        .filter(is_old_tomb)
+        .select(table.key_col)
     )
     if not touched:
         return m.snapshot_id

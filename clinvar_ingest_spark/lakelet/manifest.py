@@ -50,6 +50,11 @@ class FileEntry:
     schema_version: int  # schema the file was written under (name-mapping key)
     min_key: str | None = None
     max_key: str | None = None
+    #: warc_ts column range (ISO) from the parquet footer — manifest-level
+    #: data skipping for time-bounded reads (Iceberg file-stats parity).
+    #: None (e.g. any nulls / stats missing) = never pruned.
+    ts_min: str | None = None
+    ts_max: str | None = None
 
     def to_json(self) -> dict:
         return asdict(self)

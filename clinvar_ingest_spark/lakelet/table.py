@@ -186,19 +186,24 @@ class LakeletTable:
         spark: SparkSession,
         snapshot_id: str | None = None,
         buckets: Sequence[int] | None = None,
+        ts_not_before: str | None = None,
+        ts_not_after: str | None = None,
     ) -> DataFrame:
         """DataFrame of a snapshot (current by default), optionally pruned
-        to a bucket subset. Handles multi-schema-version file groups via
-        col_id name-mapping + widen casts; result always presents the
-        snapshot's *current* schema.
+        to a bucket subset and/or a ``warc_ts`` window (manifest-level
+        file skipping via per-file footer stats — files that cannot
+        contain rows in the window are never handed to Spark; the
+        window prune is ADVISORY: rows outside the window may still
+        appear, so callers keep their row filter). Handles
+        multi-schema-version file groups via col_id name-mapping +
+        widen casts; result always presents the snapshot's *current*
+        schema.
         """
         m = self.manifest(snapshot_id)
         target_cols = m.columns
         target_schema = spark_schema(target_cols)
-        files = m.files
-        if buckets is not None:
-            bset = set(int(b) for b in buckets)
-            files = [f for f in files if f.bucket in bset]
+        bset = set(int(b) for b in buckets) if buckets is not None else None
+        files = select_files(m.files, bset, ts_not_before, ts_not_after)
         if not files:
             return spark.createDataFrame([], schema=target_schema)
 
@@ -305,9 +310,11 @@ class LakeletTable:
             src, rel, b = job
             dst = os.path.join(self.root, rel)
             os.replace(src, dst)
+            rows, ts_min, ts_max = _parquet_stats(dst)
             return FileEntry(
-                path=rel, bucket=b, rows=_parquet_rows(dst),
+                path=rel, bucket=b, rows=rows,
                 schema_version=m.schema_version,
+                ts_min=ts_min, ts_max=ts_max,
             )
 
         from concurrent.futures import ThreadPoolExecutor
@@ -415,6 +422,56 @@ def _parquet_rows(path: str) -> int:
     import pyarrow.parquet as pq
 
     return pq.ParquetFile(path).metadata.num_rows
+
+
+def _parquet_stats(path: str, ts_col: str = "warc_ts"):
+    """(rows, ts_min_iso, ts_max_iso) from the parquet footer — no data
+    read. Conservative: any missing stats / null values ⇒ (None, None),
+    so the file is never pruned."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    try:
+        ci = md.schema.to_arrow_schema().get_field_index(ts_col)
+    except Exception:
+        ci = -1
+    if ci < 0:
+        return md.num_rows, None, None
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(ci).statistics
+        if st is None or not st.has_min_max or (st.null_count or 0) > 0:
+            return md.num_rows, None, None
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    if lo is None:
+        return md.num_rows, None, None
+    return md.num_rows, lo.isoformat(), hi.isoformat()
+
+
+def select_files(
+    files,
+    buckets=None,
+    ts_not_before: str | None = None,
+    ts_not_after: str | None = None,
+):
+    """Manifest-level file pruning: bucket subset + warc_ts window
+    overlap via per-file footer stats (files without stats always kept).
+    The read-side analogue of Iceberg's file-stats skipping — pruning
+    happens BEFORE Spark plans the scan."""
+    # normalize 'YYYY-MM-DD hh:mm:ss' → ISO 'T' so string compare is valid
+    ts_not_before = ts_not_before.replace(" ", "T") if ts_not_before else None
+    ts_not_after = ts_not_after.replace(" ", "T") if ts_not_after else None
+    out = []
+    for f in files:
+        if buckets is not None and f.bucket not in buckets:
+            continue
+        if ts_not_before and f.ts_max is not None and f.ts_max < ts_not_before:
+            continue
+        if ts_not_after and f.ts_min is not None and f.ts_min > ts_not_after:
+            continue
+        out.append(f)
+    return out
 
 
 def _rmtree(path: str) -> None:

@@ -54,6 +54,11 @@ def get_spark(
         # parquet timestamp(us) without tz must read as TIMESTAMP (UTC
         # session), not TIMESTAMP_NTZ, so snapshot/changelog types align
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # INT96 (Spark's legacy default) carries NO column statistics;
+        # TIMESTAMP_MICROS does — required for the manifest's per-file
+        # warc_ts min/max (data-skipping) and matches the changelog
+        # generator's arrow timestamps
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # CDC payloads are compute-dense per byte (zstd'd HTML expands
         # ~20x, then regex extraction) — size scan splits by CPU cost,
         # not bytes, or the pre-shuffle stage collapses to a handful of

@@ -93,6 +93,48 @@ def test_bucket_pruned_read(spark, table):
     assert n_files_bucket < len(m.files)
 
 
+def test_file_stats_time_pruning(spark, table):
+    """Per-file warc_ts footer stats land in the manifest; time-bounded
+    reads skip files at the MANIFEST level (before Spark plans the
+    scan), and the advisory prune never changes filtered results."""
+    import datetime as dt
+
+    from clinvar_ingest_spark.lakelet.table import select_files
+
+    old_ts = dt.datetime(2023, 1, 1)
+    new_ts = dt.datetime(2025, 6, 1)
+    df1 = _pages_df(
+        spark, [(f"a{i}", old_ts, b"x", "x", "en", i) for i in range(20)]
+    ).withColumn("_bucket", bucket_expr("url", 4))
+    table.commit_rewrite(
+        spark, df1, [r["_bucket"] for r in df1.select("_bucket").distinct().collect()], "b1"
+    )
+    df2 = _pages_df(
+        spark, [(f"z{i}", new_ts, b"y", "y", "de", 100 + i) for i in range(20)]
+    ).withColumn("_bucket", bucket_expr("url", 4))
+    table.commit_rewrite(
+        spark, df2, [r["_bucket"] for r in df2.select("_bucket").distinct().collect()], "b2"
+    )
+
+    m = table.manifest()
+    assert all(f.ts_min is not None and f.ts_max is not None for f in m.files)
+    # b2 rewrote every bucket it touched, carrying df1 rows away? No —
+    # commit_rewrite REPLACES touched buckets, so only untouched-bucket
+    # b1 files survive; both vintages exist iff bucket sets differ.
+    pruned_new = select_files(m.files, ts_not_before="2024-01-01T00:00:00")
+    pruned_old = select_files(m.files, ts_not_after="2024-01-01T00:00:00")
+    assert len(pruned_new) < len(m.files) or len(pruned_old) < len(m.files)
+
+    # correctness: pruned read + row filter == full read + row filter
+    full = table.read(spark).filter("warc_ts >= '2024-01-01'").count()
+    pruned = (
+        table.read(spark, ts_not_before="2024-01-01 00:00:00")
+        .filter("warc_ts >= '2024-01-01'")
+        .count()
+    )
+    assert full == pruned > 0
+
+
 def test_commit_idempotent_by_snapshot_id(spark, table):
     df1 = _pages_df(spark, [("u1", TS, b"x", "x", "en", 0)]).withColumn(
         "_bucket", bucket_expr("url", 4)
