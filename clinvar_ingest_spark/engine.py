@@ -203,7 +203,24 @@ class CdcEngine:
 
         new_m = self.table.manifest(new_snapshot)
         old_m = self.table.manifest(old_snapshot)
-        old = self.read(old_snapshot)
+        # COW ⇒ a bucket whose file list is identical in both manifests
+        # holds identical rows and can't contribute any diff: restrict
+        # both scans to CHANGED buckets (manifest-level pruning — for an
+        # incremental diff this is |touched|/n_buckets of the table).
+        # Different bucket counts (rebucket boundary) ⇒ full scan.
+        buckets = None
+        if old_m.n_buckets == new_m.n_buckets:
+            def by_bucket(m):
+                d: dict[int, set] = {}
+                for f in m.files:
+                    d.setdefault(f.bucket, set()).add(f.path)
+                return d
+
+            ob, nb = by_bucket(old_m), by_bucket(new_m)
+            buckets = sorted(
+                b for b in set(ob) | set(nb) if ob.get(b) != nb.get(b)
+            )
+        old = self.table.read(self.spark, old_snapshot, buckets=buckets)
         old_by_id = {c.col_id: c for c in old_m.columns}
         sel = []
         for tc in new_m.columns:
@@ -219,7 +236,11 @@ class CdcEngine:
         # like the reference's soft-delete slice (diff.py:138-141)
         live = ~F.coalesce(F.col("_deleted"), F.lit(False))
         old = old.select(*sel).filter(live).drop("_seq", "_deleted")
-        new = self.read(new_snapshot).filter(live).drop("_seq", "_deleted")
+        new = (
+            self.table.read(self.spark, new_snapshot, buckets=buckets)
+            .filter(live)
+            .drop("_seq", "_deleted")
+        )
         return diff_ops.diff_all(new, old, keys=[self.table.key_col], null_safe=null_safe)
 
     def export_diff_ndjson(

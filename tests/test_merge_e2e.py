@@ -122,6 +122,43 @@ def test_diff_between_snapshots(spark, changelog_df, changelog_pdf, tmp_table_ro
     assert set(d[d["_change"] == "updated"]["url"]) == changed
 
 
+def test_diff_prunes_unchanged_buckets(spark, tmp_path):
+    """COW diff pruning: a batch touching few keys leaves most buckets'
+    file lists identical between snapshots — the diff must scan only the
+    changed buckets and still classify correctly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = generate_changelog(ChangelogSpec(n_events=1000, n_urls=200, seed=41))
+    # second wave: 5 updates only (touches at most 5 of 32 buckets)
+    tail = (
+        base[base["op"] != "delete"].drop_duplicates("url").head(5).copy()
+    )
+    tail["seq"] = [1000 + i for i in range(len(tail))]
+    tail["warc_ts"] = tail["warc_ts"] + pd.Timedelta(days=30)
+    pdf = pd.concat([base, tail], ignore_index=True)
+    p = str(tmp_path / "cl.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=changelog_arrow_schema(), preserve_index=False), p
+    )
+    df = spark.read.parquet(p)
+
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=32)
+    eng.replay(df.filter("seq < 1000"), batch_size=1000)
+    eng.replay(df, batch_size=1000, from_seq=1000)
+    s_old, s_new = eng.table.history()[-2:]
+
+    d = eng.diff_snapshots(s_old, s_new).toPandas()
+    assert set(d["_change"]) == {"updated"}
+    assert len(d) == len(tail)
+    # pruning really happened: changed buckets ≪ n_buckets
+    om, nm = eng.table.manifest(s_old), eng.table.manifest(s_new)
+    changed = {
+        f.bucket for f in nm.files if f.path not in {g.path for g in om.files}
+    }
+    assert 0 < len(changed) <= len(tail) < 32
+
+
 def test_export_diff_ndjson(spark, changelog_df, tmp_table_root, tmp_path):
     engine = CdcEngine(spark, tmp_table_root, n_buckets=8)
     engine.replay(changelog_df, batch_size=1500)
