@@ -90,6 +90,36 @@ def test_fanout_dedup_streams(spark, changelog_df, changelog_pdf):
         frames["_tagged"].unpersist()
 
 
+def test_write_fanout_lakelet_versioned_tables(spark, changelog_df, tmp_path):
+    """Reference sink-model parity: every entity lands in its own
+    VERSIONED snapshot table; a second batch commits a new version and
+    the first stays time-travelable; re-running a batch is a no-op
+    (idempotent by deterministic snapshot id)."""
+    from clinvar_ingest_spark.lakelet.table import LakeletTable
+    from clinvar_ingest_spark.operators.fanout import write_fanout_lakelet
+
+    root = str(tmp_path / "entities")
+    first = changelog_df.filter("seq < 400")
+    s1 = write_fanout_lakelet(first, root, batch_id="b1", entity_types=("page", "link"))
+    s2 = write_fanout_lakelet(
+        changelog_df, root, batch_id="b2", entity_types=("page", "link")
+    )
+    t = LakeletTable.load(root + "/page")
+    assert t.history()[-2:] == [s1["page"], s2["page"]]
+    n_old = t.read(spark, snapshot_id=s1["page"]).count()
+    n_new = t.read(spark).count()
+    assert 0 < n_old <= n_new  # time travel to the first version
+    # idempotent re-commit of the same batch: same snapshot, no growth
+    s2b = write_fanout_lakelet(
+        changelog_df, root, batch_id="b2", entity_types=("page", "link")
+    )
+    assert s2b["page"] == s2["page"]
+    assert len(t.history()) == len(LakeletTable.load(root + "/page").history())
+    # key = url ␟ k composite
+    row = t.read(spark).first()
+    assert row["ek"].startswith(row["url"])
+
+
 def test_resolve_link_targets_cross_entity_fixup(spark, changelog_df):
     """Reference parity (VCV.scala:167-174): links resolve against the
     sibling page stream; self-links (href = url + query suffix)
