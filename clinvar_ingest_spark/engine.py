@@ -185,6 +185,27 @@ class CdcEngine:
         tombstones filtered)."""
         return self.live(snapshot_id).select("url", "warc_ts", "html", "text", "lang")
 
+    def lookup(self, url: str, snapshot_id: str | None = None) -> DataFrame:
+        """Point lookup: read ONLY the key's hash bucket (manifest-level
+        pruning — one bucket's files regardless of table size), then
+        filter. The key-partitioned layout's answer to the reference's
+        per-id API reads."""
+        m = self.table.manifest(snapshot_id)
+        b = (
+            self.spark.range(1)
+            .select(
+                F.pmod(F.xxhash64(F.lit(url)), F.lit(m.n_buckets))
+                .cast("int")
+                .alias("b")
+            )
+            .collect()[0]["b"]
+        )
+        return (
+            self.table.read(self.spark, snapshot_id, buckets=[b])
+            .filter(F.col(self.table.key_col) == url)
+            .filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+        )
+
     # ------------------------------------------------------------------- diff
 
     def diff_snapshots(

@@ -82,6 +82,21 @@ def test_single_batch_equals_many_batches(
     assert e1.state_hash() == e2.state_hash()
 
 
+def test_point_lookup_reads_one_bucket(spark, changelog_df, changelog_pdf, tmp_table_root):
+    engine = CdcEngine(spark, tmp_table_root, n_buckets=8)
+    engine.replay(changelog_df, batch_size=1000)
+    want = pandas_oracle(changelog_pdf)
+    u = want["url"].iloc[0]
+    got = engine.lookup(u).collect()
+    assert len(got) == 1 and got[0]["url"] == u
+    assert got[0]["text"] == want.set_index("url").loc[u, "text"]
+    # deleted/absent keys return nothing
+    deleted_urls = set(changelog_pdf["url"]) - set(want["url"])
+    if deleted_urls:
+        assert engine.lookup(sorted(deleted_urls)[0]).count() == 0
+    assert engine.lookup("https://no-such.example.com/x").count() == 0
+
+
 def test_lineage_records(spark, changelog_df, tmp_table_root):
     engine = CdcEngine(spark, tmp_table_root, n_buckets=8)
     engine.replay(changelog_df, batch_size=1000)
