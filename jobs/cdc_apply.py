@@ -49,6 +49,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="with --tail: keep running instead of drain-and-stop")
     p.add_argument("--master", default="submit",
                    help="Spark master; default 'submit' defers to spark-submit")
+    p.add_argument("--bench-json", action="store_true",
+                   help="batch replay only: warm up through the same code "
+                        "path, time the replay, and print ONE summary JSON "
+                        "line {events, sec, events_per_sec, state_hash} — "
+                        "the north-rule spark-submit scaling evidence")
     args = p.parse_args(argv)
     if args.tail and not args.checkpoint:
         p.error("--tail requires --checkpoint")
@@ -61,6 +66,28 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.changelog:
         changelog = spark.read.parquet(args.changelog)
+        if args.bench_json:
+            import shutil
+            import time
+
+            warm_root = args.table + "_warmup"
+            warm = CdcEngine(spark, warm_root, n_buckets=args.buckets)
+            warm.replay(changelog.limit(2000), batch_size=2000)
+            shutil.rmtree(warm_root, ignore_errors=True)
+
+            t0 = time.time()
+            stats = engine.replay(changelog, batch_size=args.batch_size)
+            wall = time.time() - t0
+            events = sum(s.n_events for s in stats)
+            print(json.dumps({
+                "bench": True,
+                "events": events,
+                "sec": round(wall, 3),
+                "events_per_sec": round(events / wall, 1) if wall else 0.0,
+                "commit_secs": round(sum(s.commit_secs for s in stats), 3),
+                "state_hash": engine.state_hash(),
+            }))
+            return 0
         stats = engine.replay(changelog, batch_size=args.batch_size)
         for s in stats:
             print(json.dumps(asdict(s)))

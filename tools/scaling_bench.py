@@ -103,6 +103,59 @@ def run_level(
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def run_level_submit(
+    cores: int, changelog: str, workdir: str, batches: int,
+    driver_mem: str, n_buckets: int, pin: bool,
+) -> dict:
+    """North-rule literal mode: drive the level through real
+    ``spark-submit --py-files dist/clinvar_ingest_spark.zip`` running
+    jobs/cdc_apply.py --bench-json (replay timed INSIDE the job, JVM
+    startup/warmup excluded)."""
+    import pyarrow.parquet as pq
+
+    from clinvar_ingest_spark.session import _JAVA_OPTS
+
+    n = pq.ParquetFile(changelog).metadata.num_rows
+    tdir = os.path.join(workdir, f"submit{cores}_{os.getpid()}")
+    cmd = [
+        "spark-submit", "--master", f"local[{cores}]",
+        "--driver-memory", driver_mem,
+        # under spark-submit the driver JVM starts BEFORE session conf,
+        # so the GC/AVX flags MUST ride the command line — without them
+        # this sandbox's AVX-512 fault kills the 8-core level
+        "--driver-java-options", _JAVA_OPTS,
+        "--py-files", os.path.join(REPO, "dist", "clinvar_ingest_spark.zip"),
+        os.path.join(REPO, "jobs", "cdc_apply.py"),
+        "--table", tdir, "--changelog", changelog,
+        "--batch-size", str(max(n // batches, 1)),
+        "--buckets", str(n_buckets), "--bench-json",
+    ]
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_DRIVER_MEM=driver_mem,
+        SPARK_GRAFT_MAX_PARTITION_BYTES="1m",
+        GLIBC_TUNABLES="glibc.cpu.hwcaps=-AVX512F",
+    )
+    pre = (lambda: os.sched_setaffinity(0, set(range(cores)))) if pin else None
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=3600, env=env, preexec_fn=pre
+    )
+    if out.returncode != 0:
+        raise RuntimeError(f"submit level {cores} failed:\n{out.stderr[-3000:]}")
+    import shutil
+
+    shutil.rmtree(tdir, ignore_errors=True)
+    for line in reversed(out.stdout.strip().splitlines()):
+        try:
+            d = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if d.get("bench"):
+            d["cores"] = cores
+            return d
+    raise RuntimeError(f"no bench line from level {cores}")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", type=int, default=250_000)
@@ -124,6 +177,10 @@ def main() -> None:
                     help="best-of-k per level, interleaved N/4N to decorrelate host noise")
     ap.add_argument("--changelog", default=None,
                     help="reuse an existing changelog parquet instead of generating")
+    ap.add_argument("--via-submit", action="store_true",
+                    help="drive each level through real spark-submit "
+                         "--py-files (jobs/cdc_apply.py --bench-json) — "
+                         "the north rule's literal invocation")
     ap.add_argument("--pin", action="store_true",
                     help="sched_setaffinity each level to exactly its core "
                          "count (JVM + python workers inherit) — makes the "
@@ -166,12 +223,18 @@ def main() -> None:
         )
 
     n_buckets = args.n_buckets or max(32, 4 * max(args.n, args.xn))
+    if args.via_submit:
+        subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "build_pyfiles.py")],
+            check=True, capture_output=True,
+        )
+    level_fn = run_level_submit if args.via_submit else run_level
     runs_n, runs_xn = [], []
     for rep in range(args.repeats):
         for cores, sink in ((args.n, runs_n), (args.xn, runs_xn)):
             try:
-                sink.append(run_level(cores, clp, workdir, args.batches,
-                                      args.driver_mem, n_buckets, args.pin))
+                sink.append(level_fn(cores, clp, workdir, args.batches,
+                                     args.driver_mem, n_buckets, args.pin))
                 print(f"rep {rep} local[{cores}]: {sink[-1]['events_per_sec']} ev/s",
                       file=sys.stderr)
             except Exception as e:  # flaky-substrate runs are retried next rep
