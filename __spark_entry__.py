@@ -529,14 +529,16 @@ def q_link_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-entity id fixup parity (VCV.scala:167-174): links resolve
     against the sibling page stream after href normalization."""
     from clinvar_ingest_spark.operators.fanout import (
-        fanout,
         lww_winning_events,
+        parse_entities,
         resolve_link_targets,
     )
 
     cl = spark.read.parquet(_ensure_cdc_fixture())
-    frames = fanout(lww_winning_events(cl), dedup=False)
-    resolved = resolve_link_targets(frames["_tagged"])
+    # parse_entities directly (no fanout persist): this query consumes
+    # the tagged frame exactly once, so caching it would only leak
+    tagged = parse_entities(lww_winning_events(cl))
+    resolved = resolve_link_targets(tagged)
     return resolved.groupBy("target_kind").agg(F.count("*").alias("n"))
 
 

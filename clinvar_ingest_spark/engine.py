@@ -274,8 +274,12 @@ class CdcEngine:
         d = self.diff_snapshots(old_snapshot, new_snapshot)
         d = d.withColumn("html", F.base64("html"))  # binary → NDJSON-safe
         # ONE job: the diff is computed once, written partitioned by
-        # change kind (out_dir/_change=<kind>/), with per-kind counts
+        # change kind (out_dir/change=<kind>/), with per-kind counts
         # riding along as observe() metrics — no per-slice recompute.
+        # The partition column is renamed `_change` → `change` for the
+        # export: Hadoop/Spark's hidden-path filter skips directories
+        # starting with '_', so a consumer reading the export root as a
+        # partitioned dataset would silently see zero rows otherwise.
         obs = Observation()
         d = d.observe(
             obs,
@@ -287,8 +291,9 @@ class CdcEngine:
         # microsecond timestamps: the default JSON format truncates
         # to ms, which breaks LWW round-trips on replayed slices
         (
-            d.write.mode("overwrite")
-            .partitionBy("_change")
+            d.withColumnRenamed("_change", "change")
+            .write.mode("overwrite")
+            .partitionBy("change")
             .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
             .json(out_dir)
         )
@@ -302,7 +307,7 @@ class CdcEngine:
             "files": sorted(
                 os.path.relpath(p, out_dir)
                 for kind in counts
-                for p in _ls(os.path.join(out_dir, f"_change={kind}"))
+                for p in _ls(os.path.join(out_dir, f"change={kind}"))
             ),
             "counts": counts,
         }
@@ -358,20 +363,28 @@ class CdcEngine:
         ``include_tombstones=True`` hashes the full physical frontier
         (live rows + tombstones with their LWW position) — the stronger
         convergence check used by replay tests.
+
+        Columns are derived from the manifest's CURRENT schema (sorted
+        by col_id), so renamed/added/widened tables hash without code
+        changes; binary columns hash by sha2. Every part is
+        NULL-coalesced to a sentinel token so a null-field shift (e.g.
+        text=NULL,lang='x' vs text='x',lang=NULL) can never collide.
         """
-        parts = [
-            F.col("url"),
-            F.col("warc_ts").cast("string"),
-            F.sha2(F.col("html"), 256),
-            F.col("text"),
-            F.col("lang"),
-            F.col("props"),
-        ]
+        m = self.table.manifest(snapshot_id)
+        lineage = {"_seq", "_deleted"}
+        parts = []
+        for c in sorted(m.columns, key=lambda c: c.col_id):
+            if c.name in lineage:
+                continue
+            col = F.sha2(F.col(c.name), 256) if c.type == "binary" else (
+                F.col(c.name).cast("string")
+            )
+            parts.append(F.coalesce(col, F.lit("\x00<NULL>")))
         if include_tombstones:
             df = self.read(snapshot_id)
             parts += [
-                F.col("_seq").cast("string"),
-                F.col("_deleted").cast("string"),
+                F.coalesce(F.col("_seq").cast("string"), F.lit("\x00<NULL>")),
+                F.coalesce(F.col("_deleted").cast("string"), F.lit("\x00<NULL>")),
             ]
         else:
             df = self.live(snapshot_id)

@@ -89,6 +89,13 @@ _SPARK_TYPES = {
 _WIDEN_OK = {("int", "long"), ("float", "double"), ("int", "double")}
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer committed first (optimistic concurrency). The
+    caller must re-read the table state, re-plan its merge against the
+    new current snapshot, and retry — the engine's ``apply_batch`` does
+    exactly that."""
+
+
 def spark_schema(columns: Sequence[ColumnSpec]) -> T.StructType:
     return T.StructType([T.StructField(c.name, _SPARK_TYPES[c.type], True) for c in columns])
 

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 #: schema of an exported pages diff slice (html base64-encoded, plus the
-#: _change tag when reading the combined dir)
+#: change tag when reading the combined dir)
 PAGES_NDJSON_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType()),
@@ -70,7 +70,7 @@ def diff_slices_to_changelog(
 
     parts = []
     for kind, op in (("created", "insert"), ("updated", "update"), ("deleted", "delete")):
-        p = os.path.join(export_dir, f"_change={kind}")
+        p = os.path.join(export_dir, f"change={kind}")
         if not os.path.isdir(p):  # zero-row slice → no partition dir
             df = spark.createDataFrame([], schema=PAGES_NDJSON_SCHEMA).withColumn(
                 "html", F.unbase64("html")

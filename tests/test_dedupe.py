@@ -70,6 +70,65 @@ def test_connected_components_label_propagation(spark):
     assert comp == {0: 0, 1: 0, 2: 0, 5: 0, 6: 0, 3: 3, 4: 3}
 
 
+def test_connected_components_random_graph_vs_unionfind(spark):
+    """Large-star/small-star result equals an independent union-find on
+    a seeded random graph (200 nodes, 150 edges → many components of
+    varying diameter), in both checkpoint modes."""
+    import random
+
+    rng = random.Random(42)
+    n = 200
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in range(n)}
+    # canonicalize to component-min labels
+    comp_min: dict[int, int] = {}
+    for i in range(n):
+        r = want[i]
+        comp_min[r] = min(comp_min.get(r, i), i)
+    want = {i: comp_min[want[i]] for i in range(n)}
+
+    ids = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    for mode in ("parquet", "local"):
+        got = {
+            r["id"]: r["cluster_id"]
+            for r in dedupe.connected_components(
+                ids, pairs, checkpoint=mode
+            ).collect()
+        }
+        assert got == want, f"checkpoint={mode}"
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """max_iters too small for the graph ⇒ RuntimeError, never silent
+    truncation (wrong cluster_ids downstream)."""
+    # a path graph long enough that round 1 cannot finish it
+    n = 64
+    ids = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedupe.connected_components(ids, pairs, max_iters=1)
+    # and with default iters the same graph resolves to one cluster
+    out = dedupe.connected_components(ids, pairs)
+    assert {r["cluster_id"] for r in out.collect()} == {0}
+
+
 def test_dedup_cluster_assignment(docs):
     out = {
         r["doc_id"]: (r["cluster_id"], r["is_keeper"])

@@ -34,10 +34,17 @@ def test_export_read_back(spark, tmp_path, changelog_df):
     hist = eng.table.history()
     msg = eng.export_diff_ndjson(hist[1], hist[-1], str(tmp_path / "d"))
 
-    created = read_pages_ndjson(spark, str(tmp_path / "d" / "_change=created"))
+    created = read_pages_ndjson(spark, str(tmp_path / "d" / "change=created"))
     assert created.count() == msg["counts"]["created"]
     r = created.first()
     assert isinstance(r["html"], (bytes, bytearray))  # base64 round trip
+
+    # the export root must be readable as ONE partitioned dataset: the
+    # partition dir is `change=` (not `_change=`) because Hadoop's
+    # hidden-path filter silently skips underscore-prefixed dirs
+    whole = spark.read.json(str(tmp_path / "d"))
+    assert whole.count() == sum(msg["counts"].values())
+    assert "change" in whole.columns
 
 
 def test_diff_consumer_reproduces_new_snapshot(spark, tmp_path, changelog_df):
