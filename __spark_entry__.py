@@ -542,6 +542,74 @@ def q_link_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolved.groupBy("target_kind").agg(F.count("*").alias("n"))
 
 
+def q_array_struct_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex column types end-to-end (round 3): an entity table with
+    ``tags array<string>`` and ``xrefs array<struct<db,xid>>`` columns
+    replays the fixture changelog through MERGE in four batches, with a
+    NESTED field rename (xrefs.xid→ref_id; metadata-only, by col-id)
+    and an added array column mid-stream — later batches still speak
+    the old nested shape and land via the manifest's schema history.
+    Final state equals the plain LWW of the derived stream with the
+    renamed field, which is exactly what the DuckDB oracle mirrors
+    (reference parity: repeated + ARRAY<STRUCT> columns in every
+    reference table, jade-structs/xref.struct.json:1-29)."""
+    import tempfile
+
+    from clinvar_ingest_spark.lakelet.manifest import ColumnSpec
+    from clinvar_ingest_spark.lakelet.table import LakeletTable
+    from clinvar_ingest_spark.operators.merge import merge_apply
+
+    cl = spark.read.parquet(_ensure_cdc_fixture())
+    host = F.regexp_extract("url", "https://([^/]+)", 1)
+    ev = cl.select(
+        "seq", "op", "url", "warc_ts",
+        F.array(F.col("lang"), host).alias("tags"),
+        F.array(
+            F.struct(F.lit("host").alias("db"), host.alias("xid")),
+            F.struct(F.lit("lang").alias("db"), F.col("lang").alias("xid")),
+        ).alias("xrefs"),
+    )
+    cols = [
+        ColumnSpec(1, "url", "string"),
+        ColumnSpec(2, "warc_ts", "timestamp"),
+        ColumnSpec(3, "tags", "array<string>"),
+        ColumnSpec(
+            4, "xrefs", "array<struct>",
+            fields=[ColumnSpec(5, "db", "string"), ColumnSpec(6, "xid", "string")],
+        ),
+        ColumnSpec(7, "_seq", "long"),
+        ColumnSpec(8, "_deleted", "boolean"),
+    ]
+    tmp = tempfile.mkdtemp(prefix="cdc_arr_")
+    t = LakeletTable.create(
+        os.path.join(tmp, "ent"), cols, n_buckets=8, key_col="url"
+    )
+    for lo in (0, 500):
+        merge_apply(
+            spark, t,
+            ev.filter((F.col("seq") >= lo) & (F.col("seq") < lo + 500)),
+            f"b{lo}",
+        )
+    t.rename_column("xrefs.xid", "ref_id")
+    t.add_column("extra_tags", "array<string>")
+    for lo in (1000, 1500):
+        merge_apply(
+            spark, t,
+            ev.filter((F.col("seq") >= lo) & (F.col("seq") < lo + 500)),
+            f"b{lo}",
+        )
+    out = t.read(spark).filter("NOT coalesce(_deleted, false)")
+    # arrays/structs rendered as JSON strings for cross-engine hashing
+    return out.select(
+        "url",
+        "warc_ts",
+        F.to_json("tags").alias("tags_json"),
+        F.to_json("xrefs").alias("xrefs_json"),
+        F.to_json("extra_tags").alias("extra_tags_json"),
+        F.col("_seq").alias("last_seq"),
+    )
+
+
 def q_cdc_replay_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full engine path on the deterministic fixture changelog: replay →
     tombstoned LWW snapshot table → final live state. Oracle-checked:
@@ -614,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fanout_entities": q_fanout_entities,
         "link_targets": q_link_targets,
         "cdc_replay_pages": q_cdc_replay_pages,
+        "array_struct_replay": q_array_struct_replay,
     }
 
 
@@ -860,6 +929,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fanout_entities": _fanout_entities_sql(),
         "link_targets": _link_targets_sql(),
+        "array_struct_replay": f"""
+            -- arrays/structs built as literal JSON from the same LWW
+            -- winners; nested rename xid->ref_id and the NULL-backfilled
+            -- added array column appear exactly as the engine presents
+            -- them (metadata-only evolution, zero rows rewritten)
+            SELECT url, warc_ts,
+                   '["' || lang || '","' || host || '"]' AS tags_json,
+                   '[{{"db":"host","ref_id":"' || host || '"}},{{"db":"lang","ref_id":"' || lang || '"}}]'
+                     AS xrefs_json,
+                   CAST(NULL AS VARCHAR) AS extra_tags_json,
+                   seq AS last_seq
+            FROM (
+              SELECT *,
+                     regexp_extract(url, 'https://([^/]+)', 1) AS host,
+                     row_number() OVER (PARTITION BY url
+                                        ORDER BY warc_ts DESC, seq DESC) AS rn
+              FROM read_parquet('{_ensure_cdc_fixture()}')
+            ) WHERE rn = 1 AND op <> 'delete'
+        """,
         "minhash_lsh_pairs": _minhash_lsh_sql(num_hashes=32, bands=16),
         "simhash_near_pairs": _simhash_pairs_sql(max_hamming=8),
         "ann_lsh_topk": _ann_lsh_topk_sql(dim=64, k=5, bits=4),

@@ -65,10 +65,42 @@ class CdcEngine:
         first_seq: int,
         last_seq: int,
         assume_all_buckets: bool = False,
+        max_commit_retries: int = 5,
     ) -> MergeStats | None:
         """Apply one micro-batch exactly once. Returns None on skip
         (already committed — the reference's short-circuit,
-        process-and-reingest-release.yaml:37-51)."""
+        process-and-reingest-release.yaml:37-51).
+
+        Multi-writer safe: the table's commit is an optimistic CAS on
+        the manifest head. Losing the race raises CommitConflictError
+        inside the merge; this loop re-runs the whole plan against the
+        NEW current snapshot (the merge itself re-reads state, so a
+        retry is a full re-diff — never a blind re-commit). If the
+        competing writer applied this very batch, the re-check turns
+        the retry into a no-op skip."""
+        from clinvar_ingest_spark.lakelet.table import CommitConflictError
+
+        last_err: CommitConflictError | None = None
+        for _attempt in range(max_commit_retries):
+            try:
+                return self._apply_batch_once(
+                    batch, first_seq, last_seq, assume_all_buckets
+                )
+            except CommitConflictError as e:
+                last_err = e
+                continue
+        raise RuntimeError(
+            f"batch {batch_id_for(first_seq, last_seq)} lost the commit "
+            f"race {max_commit_retries} times"
+        ) from last_err
+
+    def _apply_batch_once(
+        self,
+        batch: DataFrame,
+        first_seq: int,
+        last_seq: int,
+        assume_all_buckets: bool = False,
+    ) -> MergeStats | None:
         batch_id = batch_id_for(first_seq, last_seq)
         if self.ledger.is_committed(batch_id):
             # The ledger record is written strictly AFTER the manifest
@@ -220,7 +252,7 @@ class CdcEngine:
         widened columns cast) before classification — so a pure rename
         never reports every row as updated.
         """
-        from clinvar_ingest_spark.lakelet.table import _SPARK_TYPES
+        from clinvar_ingest_spark.lakelet.table import align_select
 
         new_m = self.table.manifest(new_snapshot)
         old_m = self.table.manifest(old_snapshot)
@@ -242,16 +274,12 @@ class CdcEngine:
                 b for b in set(ob) | set(nb) if ob.get(b) != nb.get(b)
             )
         old = self.table.read(self.spark, old_snapshot, buckets=buckets)
-        old_by_id = {c.col_id: c for c in old_m.columns}
-        sel = []
-        for tc in new_m.columns:
-            sc = old_by_id.get(tc.col_id)
-            if sc is None:
-                sel.append(F.lit(None).cast(_SPARK_TYPES[tc.type]).alias(tc.name))
-            elif sc.name != tc.name or sc.type != tc.type:
-                sel.append(F.col(sc.name).cast(_SPARK_TYPES[tc.type]).alias(tc.name))
-            else:
-                sel.append(F.col(tc.name))
+        # align the old side to the NEW snapshot's schema by col_id —
+        # the same recursive name-mapping the read path uses (renames
+        # follow incl. nested struct fields, added columns backfill
+        # NULL, widened columns cast), so a pure rename never reports
+        # every row as updated
+        sel = align_select(old_m.columns, new_m.columns)
         # diff classifies LIVE rows only: a key whose winner became a
         # tombstone between the snapshots shows up as 'deleted', exactly
         # like the reference's soft-delete slice (diff.py:138-141)
@@ -370,15 +398,20 @@ class CdcEngine:
         NULL-coalesced to a sentinel token so a null-field shift (e.g.
         text=NULL,lang='x' vs text='x',lang=NULL) can never collide.
         """
+        from clinvar_ingest_spark.lakelet.table import _SPARK_TYPES
+
         m = self.table.manifest(snapshot_id)
         lineage = {"_seq", "_deleted"}
         parts = []
         for c in sorted(m.columns, key=lambda c: c.col_id):
             if c.name in lineage:
                 continue
-            col = F.sha2(F.col(c.name), 256) if c.type == "binary" else (
-                F.col(c.name).cast("string")
-            )
+            if c.type == "binary":
+                col = F.sha2(F.col(c.name), 256)
+            elif c.type in _SPARK_TYPES:
+                col = F.col(c.name).cast("string")
+            else:  # array / struct columns: canonical JSON rendering
+                col = F.to_json(F.col(c.name))
             parts.append(F.coalesce(col, F.lit("\x00<NULL>")))
         if include_tombstones:
             df = self.read(snapshot_id)

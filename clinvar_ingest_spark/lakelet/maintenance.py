@@ -53,8 +53,7 @@ def rebucket(
         return m.snapshot_id
     batch_id = f"rebucket:{m.n_buckets}->{new_n_buckets}:{m.snapshot_id}"
     sid = snapshot_id_for(m.snapshot_id, batch_id, m.schema_version)
-    if table.has_snapshot(sid):
-        table._set_current(sid)
+    if table._is_committed(sid):
         return sid
 
     cols = [c.name for c in m.columns]
@@ -101,8 +100,7 @@ def rebucket(
         files=new_entries,
         summary=summary,
     )
-    table._write_manifest(nm)
-    table._set_current(sid)
+    table._commit_manifest(nm, m, cleanup_paths=[f.path for f in new_entries])
     return sid
 
 
@@ -145,7 +143,10 @@ def purge_tombstones(
         .filter(~is_old_tomb)
         .withColumn("_bucket", bucket_expr(table.key_col, m.n_buckets))
     )
-    return table.commit_rewrite(spark, kept, touched, batch_id=batch_id)
+    return table.commit_rewrite(
+        spark, kept, touched, batch_id=batch_id,
+        expected_parent_id=m.snapshot_id,
+    )
 
 
 def expire_snapshots(table: LakeletTable, keep_last: int = 3) -> dict:
@@ -158,7 +159,8 @@ def expire_snapshots(table: LakeletTable, keep_last: int = 3) -> dict:
     expired = []
     for p in glob.glob(os.path.join(table.manifest_dir, "*.json")):
         name = os.path.basename(p)
-        if name.startswith("_"):  # _current.json / _expired.json markers
+        # skip _current/_expired markers and the head-chain CAS pointers
+        if name.startswith("_") or name.startswith("head-"):
             continue
         sid = name[:-5]
         if sid not in keep:
@@ -175,14 +177,31 @@ def expire_snapshots(table: LakeletTable, keep_last: int = 3) -> dict:
             prior = read_json(tomb_path).get("expired", [])
         atomic_write_json(tomb_path, {"expired": sorted(set(prior) | set(expired))})
 
-    # phase 1: remove expired manifests (each removal atomic)
+    # phase 1: remove expired manifests (each removal atomic), plus the
+    # head-chain pointers that reference them (NEVER the latest head —
+    # it anchors current_snapshot_id). Expired-head GC keeps the
+    # manifest-dir listing bounded over the table's lifetime.
+    expired_set = set(expired)
     for sid in expired:
         os.unlink(os.path.join(table.manifest_dir, f"{sid}.json"))
+    latest = table._latest_head()
+    for p in glob.glob(os.path.join(table.manifest_dir, "head-*.json")):
+        try:
+            ptr = read_json(p)
+        except Exception:
+            continue
+        if (
+            ptr.get("snapshot_id") in expired_set
+            and latest is not None
+            and ptr.get("commit_seq") != latest[0]
+        ):
+            os.unlink(p)
 
     # phase 2: delete data files referenced by NO surviving manifest
     live_files: set[str] = set()
     for p in glob.glob(os.path.join(table.manifest_dir, "*.json")):
-        if os.path.basename(p).startswith("_"):
+        name = os.path.basename(p)
+        if name.startswith("_") or name.startswith("head-"):
             continue
         man = Manifest.from_json(read_json(p))
         live_files.update(f.path for f in man.files)

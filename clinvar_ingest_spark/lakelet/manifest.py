@@ -28,18 +28,47 @@ from dataclasses import dataclass, field, asdict
 
 @dataclass
 class ColumnSpec:
-    """One column: stable ``col_id`` survives renames (hard part (c))."""
+    """One column: stable ``col_id`` survives renames (hard part (c)).
+
+    ``type`` is either a scalar (string|binary|timestamp|int|long|float|
+    double|date|boolean), an ``array<scalar>``, or the complex kinds
+    ``struct`` / ``array<struct>`` whose element shape lives in
+    ``fields`` — each nested field is itself a ColumnSpec with a
+    table-unique col_id, so nested renames/widens are metadata-only
+    commits exactly like top-level ones (the reference's tables are
+    full of these: repeated string columns in variation.table.json and
+    ``xrefs: ARRAY<STRUCT>`` per jade-structs/xref.struct.json:1-29).
+    """
 
     col_id: int
     name: str
-    type: str  # spark simpleString: string|binary|timestamp|int|long|float|double|date|boolean
+    type: str
+    fields: list["ColumnSpec"] | None = None
+
+    def clone(self) -> "ColumnSpec":
+        return ColumnSpec(
+            self.col_id,
+            self.name,
+            self.type,
+            [f.clone() for f in self.fields] if self.fields is not None else None,
+        )
 
     def to_json(self) -> dict:
-        return asdict(self)
+        d = asdict(self)
+        if d.get("fields") is None:
+            d.pop("fields", None)
+        return d
 
     @staticmethod
     def from_json(d: dict) -> "ColumnSpec":
-        return ColumnSpec(col_id=d["col_id"], name=d["name"], type=d["type"])
+        return ColumnSpec(
+            col_id=d["col_id"],
+            name=d["name"],
+            type=d["type"],
+            fields=[ColumnSpec.from_json(f) for f in d["fields"]]
+            if d.get("fields")
+            else None,
+        )
 
 
 @dataclass

@@ -96,8 +96,84 @@ class CommitConflictError(RuntimeError):
     exactly that."""
 
 
+def spark_type(c: ColumnSpec) -> T.DataType:
+    """Spark DataType of a column spec — scalars, ``array<scalar>``,
+    ``struct`` and ``array<struct>`` (element shape in ``c.fields``)."""
+    t = c.type
+    if t == "struct":
+        return T.StructType(
+            [T.StructField(f.name, spark_type(f), True) for f in c.fields or []]
+        )
+    if t == "array<struct>":
+        return T.ArrayType(
+            T.StructType(
+                [T.StructField(f.name, spark_type(f), True) for f in c.fields or []]
+            )
+        )
+    if t.startswith("array<") and t.endswith(">"):
+        return T.ArrayType(_SPARK_TYPES[t[6:-1]])
+    return _SPARK_TYPES[t]
+
+
 def spark_schema(columns: Sequence[ColumnSpec]) -> T.StructType:
-    return T.StructType([T.StructField(c.name, _SPARK_TYPES[c.type], True) for c in columns])
+    return T.StructType([T.StructField(c.name, spark_type(c), True) for c in columns])
+
+
+def _spec_shape_equal(a: ColumnSpec, b: ColumnSpec) -> bool:
+    """Deep equality of (name, type, nested shape) — identity of the
+    physical layout, so the read path can skip remapping."""
+    if a.name != b.name or a.type != b.type:
+        return False
+    af, bf = a.fields or [], b.fields or []
+    return len(af) == len(bf) and all(
+        _spec_shape_equal(x, y) for x, y in zip(af, bf)
+    )
+
+
+def _remap_expr(base, src: ColumnSpec, tgt: ColumnSpec):
+    """Column expression presenting data written under ``src``'s shape
+    as ``tgt``'s shape, matching nested fields by col_id: renamed
+    fields follow, added fields backfill NULL, widened fields cast.
+    ``base`` is the Column holding the source value."""
+    if tgt.type == "struct":
+        src_by_id = {f.col_id: f for f in src.fields or []}
+        parts = []
+        for tf in tgt.fields or []:
+            sf = src_by_id.get(tf.col_id)
+            if sf is None:
+                parts.append(F.lit(None).cast(spark_type(tf)).alias(tf.name))
+            else:
+                parts.append(_remap_expr(base[sf.name], sf, tf).alias(tf.name))
+        # `when` without otherwise keeps NULL structs NULL instead of
+        # materializing a struct of NULLs
+        return F.when(base.isNotNull(), F.struct(*parts))
+    if tgt.type == "array<struct>":
+        se = ColumnSpec(-1, "", "struct", fields=src.fields)
+        te = ColumnSpec(-1, "", "struct", fields=tgt.fields)
+        return F.transform(base, lambda x: _remap_expr(x, se, te))
+    if src.type != tgt.type:
+        return base.cast(spark_type(tgt))
+    return base
+
+
+def align_select(
+    src_cols: Sequence[ColumnSpec], tgt_cols: Sequence[ColumnSpec]
+) -> list:
+    """SELECT list presenting rows stored under ``src_cols`` as
+    ``tgt_cols`` (col-id name-mapping + widen casts, recursing into
+    struct / array<struct> shapes). The single mapping used by
+    time-travel reads AND evolution-straddling diffs."""
+    src_by_id = {c.col_id: c for c in src_cols}
+    sel = []
+    for tc in tgt_cols:
+        sc = src_by_id.get(tc.col_id)
+        if sc is None:  # column added after these rows were written
+            sel.append(F.lit(None).cast(spark_type(tc)).alias(tc.name))
+        elif _spec_shape_equal(sc, tc):
+            sel.append(F.col(tc.name))
+        else:
+            sel.append(_remap_expr(F.col(sc.name), sc, tc).alias(tc.name))
+    return sel
 
 
 def bucket_expr(key_col: str, n_buckets: int):
@@ -134,9 +210,13 @@ class LakeletTable:
             n_buckets=n_buckets,
             schemas={1: columns},
             files=[],
-            summary={"total_rows": 0, "key_col": key_col},
+            summary={"total_rows": 0, "key_col": key_col, "commit_seq": 0},
         )
         t._write_manifest(m)
+        try:
+            t._link_head(0, sid)
+        except FileExistsError:
+            pass  # concurrent create: same deterministic genesis — benign
         t._set_current(sid)
         return t
 
@@ -161,8 +241,87 @@ class LakeletTable:
     def _set_current(self, sid: str) -> None:
         atomic_write_json(self._current_path(), {"snapshot_id": sid})
 
+    # ------------------------------------------------- optimistic concurrency
+    #
+    # The commit chain is a sequence of immutable head pointer files
+    # `head-{seq:012d}.json` ({"snapshot_id": sid}), each created with
+    # os.link — an atomic create-if-absent, the filesystem CAS. Writer
+    # protocol: plan against the current manifest (commit_seq = n),
+    # write the new manifest file, then try to link head-{n+1}; if the
+    # link already exists another writer won seq n+1 and this commit
+    # raises CommitConflictError (caller re-plans + retries). This is
+    # Iceberg's optimistic-concurrency commit re-expressed for a plain
+    # POSIX filesystem; `_current.json` is demoted to a self-healing
+    # read cache (a crash between link and cache update loses nothing).
+
+    def _head_path(self, seq: int) -> str:
+        return os.path.join(self.manifest_dir, f"head-{seq:012d}.json")
+
+    def _link_head(self, seq: int, sid: str) -> None:
+        """Atomically create the head pointer for ``seq`` (the CAS).
+        Raises FileExistsError if another writer already took it."""
+        import tempfile
+
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=self.manifest_dir, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as f:
+                import json as _json
+
+                _json.dump({"snapshot_id": sid, "commit_seq": seq}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.link(tmp, self._head_path(seq))
+        finally:
+            os.unlink(tmp)
+
+    def _latest_head(self) -> tuple[int, str] | None:
+        """(seq, sid) of the highest committed head, or None (legacy
+        table without a head chain)."""
+        best = None
+        try:
+            names = os.listdir(self.manifest_dir)
+        except FileNotFoundError:
+            return None
+        for n in names:
+            if n.startswith("head-") and n.endswith(".json"):
+                try:
+                    seq = int(n[5:-5])
+                except ValueError:
+                    continue
+                if best is None or seq > best:
+                    best = seq
+        if best is None:
+            return None
+        return best, read_json(self._head_path(best))["snapshot_id"]
+
+    def _is_committed(self, sid: str) -> bool:
+        """True iff ``sid`` is on the committed chain (an ancestor of —
+        or equal to — the current head). A manifest FILE may exist for
+        a snapshot that never won its CAS (writer crashed between
+        manifest write and head link, or lost the race): such orphans
+        must not satisfy idempotency short-circuits."""
+        if not self.has_snapshot(sid):
+            return False
+        s = self.current_snapshot_id()
+        while s is not None and self.has_snapshot(s):
+            if s == sid:
+                return True
+            s = self.manifest(s).parent_id
+        return False
+
     def current_snapshot_id(self) -> str:
-        return read_json(self._current_path())["snapshot_id"]
+        h = self._latest_head()
+        if h is None:  # legacy layout: pointer file is authoritative
+            return read_json(self._current_path())["snapshot_id"]
+        seq, sid = h
+        try:
+            cached = read_json(self._current_path()).get("snapshot_id")
+        except FileNotFoundError:
+            cached = None
+        if cached != sid:  # crash between CAS link and cache update
+            self._set_current(sid)
+        return sid
 
     def manifest(self, snapshot_id: str | None = None) -> Manifest:
         sid = snapshot_id or self.current_snapshot_id()
@@ -221,18 +380,8 @@ class LakeletTable:
         parts = []
         for ver, group in sorted(by_ver.items()):
             paths = [os.path.join(self.root, f.path) for f in group]
-            src_cols = {c.col_id: c for c in m.schemas[ver]}
             df = spark.read.parquet(*paths)
-            sel = []
-            for tc in target_cols:
-                sc = src_cols.get(tc.col_id)
-                if sc is None:  # column added after these files were written
-                    sel.append(F.lit(None).cast(_SPARK_TYPES[tc.type]).alias(tc.name))
-                elif sc.name != tc.name or sc.type != tc.type:
-                    sel.append(F.col(sc.name).cast(_SPARK_TYPES[tc.type]).alias(tc.name))
-                else:
-                    sel.append(F.col(tc.name))
-            parts.append(df.select(*sel))
+            parts.append(df.select(*align_select(m.schemas[ver], target_cols)))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -257,6 +406,44 @@ class LakeletTable:
             m.snapshot_id, batch_id, schema_version or m.schema_version
         )
 
+    def _commit_manifest(
+        self,
+        nm: Manifest,
+        parent: Manifest,
+        cleanup_paths: Sequence[str] | None = None,
+    ) -> None:
+        """Commit ``nm`` whose parent is ``parent`` via the head-chain
+        CAS. On losing the race: if the winner committed the SAME
+        snapshot id (two writers applying one idempotent batch) the
+        commit counts as success; otherwise the orphan manifest and any
+        ``cleanup_paths`` data files are removed and
+        CommitConflictError is raised for the caller to re-plan."""
+        seq = int(parent.summary.get("commit_seq", 0)) + 1
+        nm.summary = dict(nm.summary)
+        nm.summary["commit_seq"] = seq
+        self._write_manifest(nm)
+        try:
+            self._link_head(seq, nm.snapshot_id)
+        except FileExistsError:
+            winner = read_json(self._head_path(seq))["snapshot_id"]
+            if winner == nm.snapshot_id:
+                self._set_current(nm.snapshot_id)
+                return
+            try:
+                os.unlink(self._manifest_path(nm.snapshot_id))
+            except FileNotFoundError:
+                pass
+            for p in cleanup_paths or ():
+                try:
+                    os.unlink(os.path.join(self.root, p))
+                except FileNotFoundError:
+                    pass
+            raise CommitConflictError(
+                f"commit_seq {seq} was taken by snapshot {winner} "
+                f"(ours: {nm.snapshot_id}, batch {nm.batch_id})"
+            )
+        self._set_current(nm.snapshot_id)
+
     def commit_rewrite(
         self,
         spark: SparkSession,
@@ -266,20 +453,34 @@ class LakeletTable:
         summary: dict | None = None,
         stats_out: dict | None = None,
         pre_partitioned: bool = False,
+        expected_parent_id: str | None = None,
     ) -> str:
         """Copy-on-write commit: replace the files of ``touched_buckets``
         with ``new_bucket_data`` (must contain a ``_bucket`` column and
         exactly the current schema's columns), carry all other files
-        forward, write + point a new manifest.
+        forward, write + CAS-commit a new manifest.
 
-        Idempotent: if the deterministic snapshot already exists, the
-        pointer is (re)set and nothing is rewritten — the reference's
+        Idempotent: if the deterministic snapshot is already on the
+        committed chain, nothing is rewritten — the reference's
         "already ingested" short-circuit (ingest-xml-archive.yaml:97-110).
+
+        Optimistic concurrency: ``expected_parent_id`` is the snapshot
+        the caller PLANNED the rewrite against (the state it read).
+        If the table has moved past it — or another writer wins the
+        head CAS during the commit — CommitConflictError is raised and
+        no state is changed; the caller re-plans against the new
+        current snapshot and retries (``CdcEngine.apply_batch`` does).
+        Without it a concurrent commit landing between plan and commit
+        would be silently overwritten in overlapping buckets.
         """
         m = self.manifest()
+        if expected_parent_id is not None and m.snapshot_id != expected_parent_id:
+            raise CommitConflictError(
+                f"planned against {expected_parent_id}, table moved to "
+                f"{m.snapshot_id} — re-plan the merge"
+            )
         sid = snapshot_id_for(m.snapshot_id, batch_id, m.schema_version)
-        if self.has_snapshot(sid):
-            self._set_current(sid)
+        if self._is_committed(sid):
             if stats_out is not None:
                 stats_out["skipped"] = True
             return sid
@@ -288,7 +489,12 @@ class LakeletTable:
 
         t0 = _time.time()
         cols = [c.name for c in m.columns]
-        staging = os.path.join(self.root, f"_staging-{sid}")
+        # staging dir unique PER WRITER: two writers racing on the same
+        # batch compute the same sid, and a shared staging path would
+        # corrupt both writes before the CAS ever arbitrates
+        import uuid as _uuid
+
+        staging = os.path.join(self.root, f"_staging-{sid}-{_uuid.uuid4().hex[:8]}")
         # writers of live rows may omit the tombstone lineage column
         if "_deleted" in cols and "_deleted" not in new_bucket_data.columns:
             new_bucket_data = new_bucket_data.withColumn("_deleted", F.lit(False))
@@ -361,8 +567,9 @@ class LakeletTable:
             files=files,
             summary=new_summary,
         )
-        self._write_manifest(nm)
-        self._set_current(sid)
+        # losing the CAS deletes this writer's freshly-promoted data
+        # files (uniquely named by sid — no clash with the winner's)
+        self._commit_manifest(nm, m, cleanup_paths=[f.path for f in new_entries])
         return sid
 
     # ------------------------------------------------------- schema evolution
@@ -371,10 +578,9 @@ class LakeletTable:
         """Metadata-only commit with a bumped schema_version (no rewrite)."""
         m = self.manifest()
         new_ver = m.schema_version + 1
-        new_cols = mutate([ColumnSpec(c.col_id, c.name, c.type) for c in m.columns])
+        new_cols = mutate([c.clone() for c in m.columns])
         sid = snapshot_id_for(m.snapshot_id, batch_id, new_ver)
-        if self.has_snapshot(sid):
-            self._set_current(sid)
+        if self._is_committed(sid):
             return sid
         schemas = dict(m.schemas)
         schemas[new_ver] = new_cols
@@ -388,41 +594,115 @@ class LakeletTable:
             files=m.files,  # untouched: old files readable via name-mapping
             summary=m.summary,
         )
-        self._write_manifest(nm)
-        self._set_current(sid)
+        self._commit_manifest(nm, m)
         return sid
 
-    def add_column(self, name: str, type_: str, batch_id: str | None = None) -> str:
+    def add_column(
+        self,
+        name: str,
+        type_: str,
+        batch_id: str | None = None,
+        fields: Sequence[tuple[str, str]] | None = None,
+    ) -> str:
+        """Add a column (metadata-only; existing rows read as NULL).
+        Complex columns: ``type_='array<string>'``, or
+        ``type_='struct'/'array<struct>'`` with ``fields=[(name, scalar
+        type), ...]`` — nested fields get their own col_ids so they can
+        later be renamed/widened without rewrites."""
+
         def mutate(cols):
             if any(c.name == name for c in cols):
                 raise ValueError(f"column {name} exists")
-            next_id = max(c.col_id for c in cols) + 1
-            cols.append(ColumnSpec(next_id, name, type_))
+            next_id = _max_col_id(cols) + 1
+            nested = None
+            if type_ in ("struct", "array<struct>"):
+                if not fields:
+                    raise ValueError(f"{type_} column needs fields=[(name, type)...]")
+                nested = []
+                for fn, ft in fields:
+                    next_id_field = next_id + 1 + len(nested)
+                    nested.append(ColumnSpec(next_id_field, fn, ft))
+            elif fields:
+                raise ValueError("fields only valid for struct types")
+            cols.append(ColumnSpec(next_id, name, type_, fields=nested))
             return cols
 
         return self._evolve(batch_id or f"add:{name}", mutate)
 
     def rename_column(self, old: str, new: str, batch_id: str | None = None) -> str:
+        """Rename a column, or a nested struct field via a dotted path
+        (``rename_column('xrefs.xid', 'ref_id')``) — metadata-only by
+        col-id, zero data rewritten either way."""
+
         def mutate(cols):
-            for c in cols:
-                if c.name == old:
-                    c.name = new
-                    return cols
-            raise ValueError(f"no column {old}")
+            spec = _resolve_path(cols, old)
+            spec.name = new
+            return cols
 
         return self._evolve(batch_id or f"rename:{old}:{new}", mutate)
 
     def widen_column(self, name: str, new_type: str, batch_id: str | None = None) -> str:
+        """Widen a column (int→long, float→double), incl. nested struct
+        fields via dotted paths and array elements
+        (``array<int>``→``array<long>``)."""
+
         def mutate(cols):
-            for c in cols:
-                if c.name == name:
-                    if (c.type, new_type) not in _WIDEN_OK:
-                        raise ValueError(f"illegal widen {c.type}→{new_type}")
-                    c.type = new_type
-                    return cols
-            raise ValueError(f"no column {name}")
+            spec = _resolve_path(cols, name)
+            old_t, new_t = spec.type, new_type
+            if old_t.startswith("array<") and new_t.startswith("array<"):
+                pair = (old_t[6:-1], new_t[6:-1])
+            else:
+                pair = (old_t, new_t)
+            if pair not in _WIDEN_OK:
+                raise ValueError(f"illegal widen {old_t}→{new_type}")
+            spec.type = new_type
+            return cols
 
         return self._evolve(batch_id or f"widen:{name}:{new_type}", mutate)
+
+    def add_field(
+        self, column: str, field_name: str, field_type: str,
+        batch_id: str | None = None,
+    ) -> str:
+        """Add a nested field to a struct / array<struct> column
+        (metadata-only; existing rows read the field as NULL)."""
+
+        def mutate(cols):
+            spec = _resolve_path(cols, column)
+            if spec.type not in ("struct", "array<struct>"):
+                raise ValueError(f"{column} is not a struct column")
+            if any(f.name == field_name for f in spec.fields or []):
+                raise ValueError(f"field {column}.{field_name} exists")
+            spec.fields = list(spec.fields or [])
+            spec.fields.append(
+                ColumnSpec(_max_col_id(cols) + 1, field_name, field_type)
+            )
+            return cols
+
+        return self._evolve(batch_id or f"addfield:{column}.{field_name}", mutate)
+
+
+def _max_col_id(cols: Sequence[ColumnSpec]) -> int:
+    mx = 0
+    for c in cols:
+        mx = max(mx, c.col_id)
+        if c.fields:
+            mx = max(mx, _max_col_id(c.fields))
+    return mx
+
+
+def _resolve_path(cols: Sequence[ColumnSpec], path: str) -> ColumnSpec:
+    """Resolve 'col' or 'col.field' to its ColumnSpec (mutable ref)."""
+    head, _, rest = path.partition(".")
+    for c in cols:
+        if c.name == head:
+            if not rest:
+                return c
+            for f in c.fields or []:
+                if f.name == rest:
+                    return f
+            raise ValueError(f"no field {rest} in column {head}")
+    raise ValueError(f"no column {head}")
 
 
 def _parquet_rows(path: str) -> int:

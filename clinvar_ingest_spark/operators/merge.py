@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from clinvar_ingest_spark.functions.extract import extract_text_udf
-from clinvar_ingest_spark.lakelet.table import LakeletTable, bucket_expr
+from clinvar_ingest_spark.lakelet.table import LakeletTable, bucket_expr, spark_type
 from clinvar_ingest_spark.operators.lww import lww_latest
 
 
@@ -58,14 +58,19 @@ class MergeStats:
 def reduce_batch(batch: DataFrame) -> DataFrame:
     """LWW-reduce a raw changelog micro-batch to one row per url,
     then extract text (and canonicalize the `extra` residue into
-    `props`) for surviving upserts only.
+    `props`) for surviving upserts only. Batches without an ``html``
+    column (entity tables with arbitrary payload schemas, e.g. array /
+    struct columns) skip the extraction step — everything else is
+    schema-driven.
     """
     batch = batch.withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
     latest = lww_latest(batch, keys=("url",), order_by=("warc_ts", "seq"))
-    out = latest.withColumn(
-        "text",
-        F.when(F.col("op") != "delete", extract_text_udf(F.col("html"))),
-    )
+    out = latest
+    if "html" in out.columns:
+        out = out.withColumn(
+            "text",
+            F.when(F.col("op") != "delete", extract_text_udf(F.col("html"))),
+        )
     if "props" not in out.columns and "extra" in out.columns:
         from clinvar_ingest_spark.functions.canonical_json import canonical_json_udf
 
@@ -74,6 +79,35 @@ def reduce_batch(batch: DataFrame) -> DataFrame:
             F.when(F.col("op") != "delete", canonical_json_udf(F.col("extra"))),
         )
     return out
+
+
+def _batch_payload_expr(manifest, name: str, src_col: str, batch_dtype):
+    """Column expression presenting a batch payload column as the
+    table's CURRENT column ``name``.
+
+    Handles schema drift between producer and table: if the batch's
+    dtype doesn't match the current column type, search the manifest's
+    schema HISTORY for the version whose shape the batch speaks (by
+    col_id), then remap nested fields col-id-wise — so a changelog
+    carrying ``xrefs: array<struct<db,xid>>`` lands correctly in a
+    table that renamed the field to ``ref_id`` and added ``note``
+    (positional casts would fail on the arity change). Falls back to a
+    plain cast for scalar widens.
+    """
+    from clinvar_ingest_spark.lakelet.table import _remap_expr
+
+    tgt_spec = next(cs for cs in manifest.columns if cs.name == name)
+    tgt_t = spark_type(tgt_spec)
+    if batch_dtype.simpleString() == tgt_t.simpleString():
+        return F.col(src_col)
+    for ver in sorted(manifest.schemas, reverse=True):
+        old = next(
+            (c for c in manifest.schemas[ver] if c.col_id == tgt_spec.col_id),
+            None,
+        )
+        if old is not None and spark_type(old).simpleString() == batch_dtype.simpleString():
+            return _remap_expr(F.col(src_col), old, tgt_spec)
+    return F.col(src_col).cast(tgt_t)
 
 
 def merge_apply(
@@ -188,8 +222,9 @@ def merge_apply(
             )
         src = alias.get(name, name)
         if src in batch_payload:
+            bval = _batch_payload_expr(m, name, f"_b_{src}", reduced.schema[src].dataType)
             return (
-                F.when(take_batch, F.col(f"_b_{src}"))
+                F.when(take_batch, bval)
                 .when(tomb, F.lit(None))
                 .otherwise(cur)
                 .alias(name)
@@ -201,7 +236,10 @@ def merge_apply(
         "_bucket", bucket_expr("url", m.n_buckets)
     )
 
-    # job 2: the copy-on-write rewrite — observations fire with it
+    # job 2: the copy-on-write rewrite — observations fire with it.
+    # expected_parent_id pins the commit to the snapshot this merge was
+    # planned against: a concurrent writer landing in between raises
+    # CommitConflictError instead of losing its updates silently.
     commit_stats: dict = {}
     sid = table.commit_rewrite(
         spark,
@@ -209,6 +247,7 @@ def merge_apply(
         touched_buckets=touched,
         batch_id=batch_id,
         stats_out=commit_stats,
+        expected_parent_id=m.snapshot_id,
     )
 
     if commit_stats.get("skipped"):

@@ -416,6 +416,7 @@ def merge_apply_cogrouped(
         batch_id=batch_id,
         stats_out=commit_stats,
         pre_partitioned=True,
+        expected_parent_id=m.snapshot_id,
     )
 
     if commit_stats.get("skipped"):
