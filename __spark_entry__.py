@@ -610,6 +610,45 @@ def q_array_struct_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_release_cut_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-level multi-table snapshot cut (round 3): fan the fixture
+    changelog out into versioned entity tables, pin them under ONE
+    release id (the reference's clinvar_release asset graph,
+    jade-assets/clinvar_release.asset.json:1-60), then JOIN two member
+    tables AS OF that release — the asset-graph read the reference does
+    against TDR. Oracle mirrors the LWW winners + title extraction."""
+    import tempfile
+
+    from clinvar_ingest_spark.lakelet.release import (
+        ReleaseSet,
+        write_fanout_release,
+    )
+
+    cl = spark.read.parquet(_ensure_cdc_fixture())
+    root = tempfile.mkdtemp(prefix="cdc_rel_")
+    rid = write_fanout_release(
+        cl, root, "fixture-release", entity_types=("page", "title"),
+        n_buckets=8, dedup=True,
+    )
+    rs = ReleaseSet(root)
+    pages = rs.read_table(spark, "page", rid).select(
+        "url", F.col("k").alias("lang")
+    )
+    titles = (
+        rs.read_table(spark, "title", rid)
+        .groupBy("url")
+        .agg(F.count("*").alias("nt"))
+    )
+    return (
+        pages.join(titles, "url", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum(F.coalesce("nt", F.lit(0))).alias("n_titles"),
+        )
+    )
+
+
 def q_cdc_replay_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full engine path on the deterministic fixture changelog: replay →
     tombstoned LWW snapshot table → final live state. Oracle-checked:
@@ -683,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_targets": q_link_targets,
         "cdc_replay_pages": q_cdc_replay_pages,
         "array_struct_replay": q_array_struct_replay,
+        "release_cut_join": q_release_cut_join,
     }
 
 
@@ -929,6 +969,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fanout_entities": _fanout_entities_sql(),
         "link_targets": _link_targets_sql(),
+        "release_cut_join": _release_cut_join_sql(),
         "array_struct_replay": f"""
             -- arrays/structs built as literal JSON from the same LWW
             -- winners; nested rename xid->ref_id and the NULL-backfilled
@@ -1069,6 +1110,24 @@ def _fanout_entities_sql() -> str:
 SELECT entity_type, n FROM (
   {union}
 ) WHERE n > 0
+"""
+
+
+def _release_cut_join_sql() -> str:
+    title = _sqlq(_FANOUT_PATTERNS["title"])
+    return f"""
+WITH win AS (
+  SELECT url, lang, decode(html) AS h
+  FROM (
+    SELECT *, row_number() OVER (
+             PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn
+    FROM read_parquet('{_ensure_cdc_fixture()}')
+  ) WHERE rn = 1 AND op <> 'delete'
+)
+SELECT lang,
+       count(*) AS n_pages,
+       CAST(sum(len(regexp_extract_all(h, '{title}'))) AS BIGINT) AS n_titles
+FROM win GROUP BY lang
 """
 
 
