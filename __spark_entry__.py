@@ -418,6 +418,69 @@ def _ensure_cdc_fixture() -> str:
     return path
 
 
+def _ensure_ann_fixture() -> str:
+    """Deterministic embedding fixture WITH planted near-duplicates:
+    150 seeded unit-ish base vectors (dim 16) + one twin each (tiny
+    perturbation, cosine ≈ 0.9999). Twins give ANN recall something
+    real to find — the driver's random unit vectors have no cluster
+    structure, so bucketing recall on them measures only noise."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fixdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".fixtures")
+    path = os.path.join(fixdir, "ann_twins_150x16_seed42_v1.parquet")
+    if not os.path.exists(path):
+        os.makedirs(fixdir, exist_ok=True)
+        rng = np.random.default_rng(42)
+        base = rng.standard_normal((150, 16))
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        twin = base + 0.01 * rng.standard_normal((150, 16))
+        twin /= np.linalg.norm(twin, axis=1, keepdims=True)
+        ids = list(range(150)) + [1000 + i for i in range(150)]
+        vecs = [[float(x) for x in row] for row in base] + [
+            [float(x) for x in row] for row in twin
+        ]
+        t = pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "embedding": pa.array(vecs, type=pa.list_(pa.float64())),
+            }
+        )
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def q_ann_multiprobe_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe SRP self-check (round 3): on the planted-twin
+    fixture, the exact top-1 neighbor of each query (its twin) must be
+    recovered by multi-probe LSH (bits=8, Hamming-1 probing = 9 of 256
+    buckets). Returns one row per query with both engines' answers and
+    the agreement flag — `agree = false` rows are recall violations
+    (zero at seed 42; pinned by pytest too)."""
+    from clinvar_ingest_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        lsh_bucket_topk,
+    )
+
+    emb = spark.read.parquet(_ensure_ann_fixture())
+    queries = emb.filter(F.col("vec_id") < 20)
+    bf = cosine_topk_bruteforce(emb, queries, k=1).select(
+        "query_id", F.col("neighbor_id").alias("bf_neighbor")
+    )
+    mp = lsh_bucket_topk(
+        emb, queries, dim=16, k=1, bits=8, probe_hamming=1
+    ).select("query_id", F.col("neighbor_id").alias("mp_neighbor"))
+    return bf.join(mp, "query_id", "left").select(
+        "query_id",
+        "bf_neighbor",
+        "mp_neighbor",
+        (F.col("bf_neighbor") == F.col("mp_neighbor")).alias("agree"),
+    )
+
+
 def q_canonical_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4/F4 parity (canonical JSON, Content.scala:16-48): canonicalize
     the raw props JSON (sorted keys/arrays, compact, empties dropped)
@@ -715,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_near_pairs": q_simhash_near_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_multiprobe_check": q_ann_multiprobe_check,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "dedup_clusters": q_dedup_clusters,
         "schema_evolution_replay": q_schema_evolution_replay,
@@ -992,6 +1056,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _minhash_lsh_sql(num_hashes=32, bands=16),
         "simhash_near_pairs": _simhash_pairs_sql(max_hamming=8),
         "ann_lsh_topk": _ann_lsh_topk_sql(dim=64, k=5, bits=4),
+        "ann_multiprobe_check": _ann_multiprobe_check_sql(dim=16, bits=8),
         "embedding_dup_pairs": _embedding_dup_sql(dim=64, threshold=0.3, bits=6),
         "cdc_replay_pages": f"""
             -- props: the engine canonicalizes the raw `extra` JSON
@@ -1271,6 +1336,39 @@ SELECT query_id, neighbor_id,
 FROM c JOIN q USING (bucket)
 WHERE neighbor_id <> query_id
 QUALIFY rank <= {k}
+"""
+
+
+def _ann_multiprobe_check_sql(dim: int = 16, bits: int = 8) -> str:
+    bucket = _srp_bucket_sql("e", dim, bits)
+    return f"""
+WITH s AS (
+  SELECT vec_id, embedding AS e FROM read_parquet('{_ensure_ann_fixture()}')
+),
+sb AS (SELECT vec_id, e, {bucket} AS bucket FROM s),
+q AS (SELECT vec_id AS query_id, e AS qe, bucket AS qb FROM sb WHERE vec_id < 20),
+bf AS (
+  SELECT query_id, neighbor_id AS bf_neighbor FROM (
+    SELECT q.query_id, s.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_cosine_similarity(s.e, q.qe) DESC,
+                                       s.vec_id ASC) AS rn
+    FROM s JOIN q ON s.vec_id <> q.query_id
+  ) WHERE rn = 1
+),
+mp AS (
+  SELECT query_id, neighbor_id AS mp_neighbor FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_cosine_similarity(c.e, q.qe) DESC,
+                                       c.vec_id ASC) AS rn
+    FROM sb c JOIN q
+      ON bit_count(xor(c.bucket, q.qb)) <= 1 AND c.vec_id <> q.query_id
+  ) WHERE rn = 1
+)
+SELECT query_id, bf_neighbor, mp_neighbor,
+       (bf_neighbor = mp_neighbor) AS agree
+FROM bf LEFT JOIN mp USING (query_id)
 """
 
 

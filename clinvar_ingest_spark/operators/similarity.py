@@ -107,6 +107,21 @@ def srp_sketch(
     return df.withColumn(out_col, expr)
 
 
+def _probe_masks(bits: int, probe_hamming: int) -> list[int]:
+    """XOR masks for multi-probe: all bucket perturbations within
+    ``probe_hamming`` bit flips (0 → just the own bucket)."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, probe_hamming + 1):
+        for combo in combinations(range(bits), r):
+            m = 0
+            for b in combo:
+                m |= 1 << b
+            masks.append(m)
+    return masks
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -116,14 +131,36 @@ def lsh_bucket_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_hamming: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: score only corpus rows in the query's SRP bucket."""
+    """Approximate top-k: score corpus rows in the query's SRP bucket.
+
+    ``probe_hamming`` > 0 enables **multi-probe**: each query also
+    scans every bucket within that Hamming distance of its own sketch
+    (r=1 → bits+1 buckets). A vector near a hyperplane lands on either
+    side of that bit — probing the 1-flip neighbors recovers exactly
+    those near-boundary misses, trading a bounded ×(1 + C(bits,1) +
+    … + C(bits,r)) candidate growth for recall. Implemented as an
+    explode over XOR masks + the same equi-join (never a Hamming theta
+    join — the shuffle key stays a plain bucket id at any corpus
+    size); the exact-cosine gate is unchanged.
+    """
     c = srp_sketch(corpus, dim, bits, seed, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "_bucket"
     )
     q = srp_sketch(queries, dim, bits, seed, vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), "_bucket"
     )
+    if probe_hamming > 0:
+        masks = _probe_masks(bits, probe_hamming)
+        q = q.withColumn(
+            "_bucket",
+            F.explode(
+                F.array(
+                    *[F.col("_bucket").bitwiseXOR(F.lit(m)) for m in masks]
+                )
+            ),
+        )
     j = c.join(F.broadcast(q), "_bucket").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
