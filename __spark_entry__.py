@@ -418,6 +418,43 @@ def _ensure_cdc_fixture() -> str:
     return path
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the multimodal pipeline (round 3): a
+    deterministic 4×2 PPM(P6) is synthesized per document JVM-side
+    (pixel byte j = (doc_id·7 + j·13) mod 256, header + hex → unhex),
+    decoded by the dependency-free PPM parser inside the Arrow-batched
+    mapInPandas, and the decoded features (width, height, pixel-byte
+    sum recovered exactly from the mean) are oracle-checked — DuckDB
+    computes the same sum from the generating formula."""
+    from clinvar_ingest_spark.operators.multimodal import extract_media_features
+
+    docs = _t(spark, sf_dir, "documents")
+    hdr_hex = b"P6\n4 2\n255\n".hex()
+    px_hex = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(23)),
+            lambda j: F.lpad(
+                F.hex((F.col("doc_id") * 7 + j * 13) % 256), 2, "0"
+            ),
+        ),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.unhex(F.concat(F.lit(hdr_hex), px_hex)).alias("payload"),
+        F.lit("{}").alias("meta"),
+    )
+    feats = extract_media_features(media, fake=False)
+    return feats.select(
+        "media_id",
+        F.element_at("feature", 1).cast("long").alias("width"),
+        F.element_at("feature", 2).cast("long").alias("height"),
+        # mean × 24 bytes = exact integer pixel sum
+        F.round(F.element_at("feature", 3) * 24, 0).cast("long").alias("byte_sum"),
+    )
+
+
 def _ensure_ann_fixture() -> str:
     """Deterministic embedding fixture WITH planted near-duplicates:
     150 seeded unit-ish base vectors (dim 16) + one twin each (tiny
@@ -771,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ann_topk": q_ann_topk,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_decode": q_multimodal_decode,
         # sketch/engine family — exact oracles via cross-engine md5
         # hashing (functions/xhash.py) + the tombstoned LWW equivalence:
         "canonical_props": q_canonical_props,
@@ -981,6 +1019,17 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS n_bytes,
                    CASE WHEN length(text) = 0 THEN -1
                         ELSE ascii(substr(text, 1, 1)) END AS first_byte
+            FROM documents
+        """,
+        "multimodal_decode": """
+            -- the oracle recomputes the decoded pixel sum from the
+            -- generating formula; width/height prove the header parse
+            SELECT doc_id AS media_id,
+                   4 AS width,
+                   2 AS height,
+                   CAST(list_sum(list_transform(range(0, 24),
+                                                j -> (doc_id * 7 + j * 13) % 256))
+                        AS BIGINT) AS byte_sum
             FROM documents
         """,
         "canonical_props": """
