@@ -91,6 +91,36 @@ def bench_cdc_replay(spark, sf: float, workdir: str) -> dict:
     }
 
 
+def bench_extract_ab(spark, clp: str) -> dict:
+    """Round-3 A/B: the HTML→text kernel as an Arrow-batched pandas
+    UDF (determinism reference) vs the codegen'd regexp-chain variant,
+    over the full bench changelog — the delta the `extract_kernel`
+    engine flag buys."""
+    from pyspark.sql import functions as F
+
+    from clinvar_ingest_spark.functions.extract import (
+        extract_text_expr,
+        extract_text_udf,
+    )
+
+    html = spark.read.parquet(clp).select("html")
+    t0 = time.time()
+    html.select(extract_text_udf(F.col("html")).alias("t")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    py = time.time() - t0
+    t0 = time.time()
+    html.select(extract_text_expr(F.col("html")).alias("t")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    jvm = time.time() - t0
+    return {
+        "python_secs": round(py, 3),
+        "jvm_secs": round(jvm, 3),
+        "jvm_speedup": round(py / jvm, 3) if jvm > 0 else None,
+    }
+
+
 def main() -> None:
     from clinvar_ingest_spark.session import get_spark
 
@@ -128,6 +158,9 @@ def main() -> None:
     workdir = tempfile.mkdtemp(prefix="bench_cdc_")
     try:
         cdc = bench_cdc_replay(spark, sf, workdir)
+        extract_ab = bench_extract_ab(
+            spark, os.path.join(workdir, "changelog.parquet")
+        )
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
     times["cdc_replay"] = cdc["sec"]
@@ -139,6 +172,7 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "cdc": cdc,
+        "extract_ab": extract_ab,
         "cores": CPUS or "all",
     }
     print(json.dumps(out))

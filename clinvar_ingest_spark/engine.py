@@ -45,15 +45,30 @@ class CdcEngine:
         root: str,
         n_buckets: int = 16,
         strategy: str = "cogroup",
+        extract_kernel: str = "python",
     ):
         """``strategy``: 'cogroup' (default; per-bucket applyInPandas,
         2 shuffles/batch) or 'join' (full-outer-join formulation,
         3 shuffles/batch, kept for A/B parity — both produce identical
-        table states and identical lineage)."""
+        table states and identical lineage).
+
+        ``extract_kernel``: 'python' (Arrow-batched pandas UDF — the
+        byte-determinism reference) or 'jvm' (chained regexp_replace
+        column expressions, whole-stage codegen, A/B-verified
+        byte-identical on the fixture corpus; join strategy only — the
+        cogroup kernel extracts inside its Arrow function)."""
         if strategy not in ("cogroup", "join"):
             raise ValueError(f"unknown merge strategy {strategy!r}")
+        if extract_kernel not in ("python", "jvm"):
+            raise ValueError(f"unknown extract kernel {extract_kernel!r}")
+        if extract_kernel == "jvm" and strategy != "join":
+            raise ValueError(
+                "extract_kernel='jvm' requires strategy='join' (the "
+                "cogroup merge extracts inside its Arrow kernel)"
+            )
         self.spark = spark
         self.strategy = strategy
+        self.extract_kernel = extract_kernel
         self.table = LakeletTable.create(root, PAGES_COLUMNS, n_buckets=n_buckets)
         self.ledger = Ledger(self.table.ledger_dir)
 
@@ -140,7 +155,10 @@ class CdcEngine:
                 assume_all_buckets=assume_all_buckets,
             )
         else:
-            stats = merge_apply(self.spark, self.table, batch, batch_id)
+            stats = merge_apply(
+                self.spark, self.table, batch, batch_id,
+                extract_kernel=self.extract_kernel,
+            )
         wall = time.time() - t0
 
         self.ledger.record(

@@ -55,7 +55,7 @@ class MergeStats:
     commit_secs: float = 0.0  # driver-side promote+manifest (serial phase)
 
 
-def reduce_batch(batch: DataFrame) -> DataFrame:
+def reduce_batch(batch: DataFrame, extract_kernel: str = "python") -> DataFrame:
     """LWW-reduce a raw changelog micro-batch to one row per url,
     then extract text (and canonicalize the `extra` residue into
     `props`) for surviving upserts only. Batches without an ``html``
@@ -67,10 +67,13 @@ def reduce_batch(batch: DataFrame) -> DataFrame:
     latest = lww_latest(batch, keys=("url",), order_by=("warc_ts", "seq"))
     out = latest
     if "html" in out.columns:
-        out = out.withColumn(
-            "text",
-            F.when(F.col("op") != "delete", extract_text_udf(F.col("html"))),
-        )
+        if extract_kernel == "jvm":
+            from clinvar_ingest_spark.functions.extract import extract_text_expr
+
+            text = extract_text_expr(F.col("html"))
+        else:
+            text = extract_text_udf(F.col("html"))
+        out = out.withColumn("text", F.when(F.col("op") != "delete", text))
     if "props" not in out.columns and "extra" in out.columns:
         from clinvar_ingest_spark.functions.canonical_json import canonical_json_udf
 
@@ -115,6 +118,7 @@ def merge_apply(
     table: LakeletTable,
     batch: DataFrame,
     batch_id: str,
+    extract_kernel: str = "python",
 ) -> MergeStats:
     """Apply one micro-batch to the table; returns lineage stats.
 
@@ -146,7 +150,7 @@ def merge_apply(
         F.max("warc_ts").alias("watermark"),
     )
 
-    reduced = reduce_batch(observed)
+    reduced = reduce_batch(observed, extract_kernel)
     current = table.read(spark, buckets=touched)
 
     # payload columns of the table schema; those also present in the
