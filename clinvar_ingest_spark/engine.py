@@ -311,10 +311,19 @@ class CdcEngine:
         return diff_ops.diff_all(new, old, keys=[self.table.key_col], null_safe=null_safe)
 
     def export_diff_ndjson(
-        self, old_snapshot: str, new_snapshot: str, out_dir: str
+        self,
+        old_snapshot: str,
+        new_snapshot: str,
+        out_dir: str,
+        notify_sink=None,
     ) -> dict:
         """NDJSON slices per change type (reference: diff.py:185-207 export
-        + date-present.yaml per-table get-created/deleted/updated)."""
+        + date-present.yaml per-table get-created/deleted/updated).
+
+        ``notify_sink``: any ``bus.NotifySink`` — defaults to the file
+        analogue (``_notify.json`` in the export dir); pass
+        ``bus.KafkaNotifySink(...)`` for the reference's actual wire
+        (notify-clingen-kafka.py parity) where a broker exists."""
         from pyspark.sql import Observation
 
         d = self.diff_snapshots(old_snapshot, new_snapshot)
@@ -344,8 +353,10 @@ class CdcEngine:
             .json(out_dir)
         )
         counts = {k: int(obs.get.get(k) or 0) for k in ("created", "updated", "deleted")}
-        # notify record (reference: notify-clingen-kafka.py:17-48)
-        from clinvar_ingest_spark.lakelet.manifest import atomic_write_json
+        # notify record (reference: notify-clingen-kafka.py:17-48),
+        # through the bus seam — file analogue by default, Kafka where
+        # a broker exists
+        from clinvar_ingest_spark.bus import FileNotifySink
 
         msg = {
             "old_snapshot": old_snapshot,
@@ -357,7 +368,9 @@ class CdcEngine:
             ),
             "counts": counts,
         }
-        atomic_write_json(os.path.join(out_dir, "_notify.json"), msg)
+        sink = notify_sink or FileNotifySink(out_dir)
+        sink.send(msg)
+        sink.close()
         return msg
 
     # ---------------------------------------------------------------- lineage

@@ -49,26 +49,31 @@ CHANGELOG_SCHEMA = T.StructType(
 
 def tail_changelog(
     engine: CdcEngine,
-    changelog_dir: str,
+    changelog_dir: str | None,
     checkpoint_dir: str,
     max_files_per_trigger: int = 8,
     available_now: bool = True,
     processing_time: str = "10 seconds",
+    source=None,
 ):
-    """Tail ``changelog_dir`` for new parquet segments and MERGE-apply
-    each micro-batch exactly once. Returns the StreamingQuery.
+    """Tail a changelog source and MERGE-apply each micro-batch exactly
+    once. Returns the StreamingQuery.
 
-    ``available_now=True`` drains everything currently present and
-    stops (batch-over-stream, used by tests/bench); ``False`` keeps
-    tailing on ``processing_time`` triggers like a real binlog consumer.
+    ``source``: any ``bus.ChangelogSource`` — defaults to the file
+    analogue over ``changelog_dir`` (parquet segments); pass
+    ``bus.KafkaChangelogSource(...)`` on a cluster with the Kafka
+    package. ``available_now=True`` drains everything currently
+    present and stops (batch-over-stream, used by tests/bench);
+    ``False`` keeps tailing on ``processing_time`` triggers like a
+    real binlog consumer.
     """
     spark = engine.spark
 
-    stream = (
-        spark.readStream.schema(CHANGELOG_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(changelog_dir)
-    )
+    if source is None:
+        from clinvar_ingest_spark.bus import FileChangelogSource
+
+        source = FileChangelogSource(changelog_dir, max_files_per_trigger)
+    stream = source.stream(spark)
 
     def apply_micro_batch(batch: DataFrame, epoch_id: int) -> None:
         bounds = batch.agg(
