@@ -77,14 +77,12 @@ def test_query_matches_oracle(spark, ddb, name):
         )
 
 
-ROWS_ONLY = sorted(set(entrymod.queries()) - set(entrymod.oracle_sql()))
-
-
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_queries_run(spark, name):
-    df = entrymod.queries()[name](spark, SF_DIR)
-    assert df.count() >= 0
-    assert len(df.schema.fields) > 0
+def test_every_query_is_oracle_checked():
+    """Round 2 eliminated the rows-only tier: every queries() entry
+    must carry an oracle_sql() mirror (and vice versa) — a new query
+    without an oracle fails here instead of silently downgrading the
+    driver's correctness gate."""
+    assert set(entrymod.queries()) == set(entrymod.oracle_sql())
 
 
 def test_entry_smoke(spark):
