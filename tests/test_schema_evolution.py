@@ -164,3 +164,36 @@ def test_diff_across_evolution_is_rename_insensitive(spark, table, tmp_path):
     post = table.current_snapshot_id()
     d = eng.diff_snapshots(pre, post)
     assert d.count() == 0  # metadata-only commits: no row changed
+
+
+def test_state_hash_schema_driven_after_rename(spark, tmp_path):
+    """maintain.py regression (round-3 ADVICE): state_hash derives its
+    columns from the manifest, so a renamed table hashes instead of
+    crashing on hardcoded names — and a pure rename leaves the live
+    content hash UNCHANGED (same col_ids, same values)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clinvar_ingest_spark.engine import CdcEngine
+    from clinvar_ingest_spark.sources.changelog import (
+        ChangelogSpec,
+        changelog_arrow_schema,
+        generate_changelog,
+    )
+
+    pdf = generate_changelog(ChangelogSpec(n_events=400, n_urls=80, seed=55))
+    p = str(tmp_path / "cl.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(
+            pdf, schema=changelog_arrow_schema(), preserve_index=False
+        ),
+        p,
+    )
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=4)
+    eng.replay(spark.read.parquet(p), batch_size=400)
+    before = eng.state_hash()
+    eng.table.rename_column("lang", "language")
+    assert eng.state_hash() == before  # col-id mapping, not name-based
+    eng.table.add_column("fetch_status", "int")
+    after_add = eng.state_hash()
+    assert after_add != before  # NULL column participates (coalesced token)
