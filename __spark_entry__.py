@@ -418,6 +418,28 @@ def _ensure_cdc_fixture() -> str:
     return path
 
 
+def q_corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data selection (round 3): a deterministic 10 % hash
+    sample of the corpus (pure function of doc_id via the cross-engine
+    md5 family — reproducible across runs, partitionings, and engines)
+    followed by top-5 documents per language by length with a
+    deterministic tie-break. The select-best-k-per-stratum step every
+    pipeline runs between dedup and export."""
+    from clinvar_ingest_spark.operators.sampling import (
+        hash_sample,
+        stratified_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    s = hash_sample(docs, "doc_id", num=10, den=100)
+    out = stratified_topk(
+        s, "lang", F.length("text"), k=5, tie_col="doc_id"
+    )
+    return out.select(
+        "lang", "doc_id", "rank", F.length("text").alias("n_chars_m")
+    )
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode through the multimodal pipeline (round 3): a
     deterministic 4×2 PPM(P6) is synthesized per document JVM-side
@@ -809,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
+        "corpus_sample_stratified": q_corpus_sample_stratified,
         # sketch/engine family — exact oracles via cross-engine md5
         # hashing (functions/xhash.py) + the tombstoned LWW equivalence:
         "canonical_props": q_canonical_props,
@@ -1021,6 +1044,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE ascii(substr(text, 1, 1)) END AS first_byte
             FROM documents
         """,
+        "corpus_sample_stratified": _corpus_sample_sql(),
         "multimodal_decode": """
             -- the oracle recomputes the decoded pixel sum from the
             -- generating formula; width/height prove the header parse
@@ -1224,6 +1248,21 @@ def _fanout_entities_sql() -> str:
 SELECT entity_type, n FROM (
   {union}
 ) WHERE n > 0
+"""
+
+
+def _corpus_sample_sql(num: int = 10, den: int = 100, k: int = 5) -> str:
+    from clinvar_ingest_spark.functions.xhash import md5_long48_sql
+
+    h = md5_long48_sql("('' || CAST(doc_id AS VARCHAR))")
+    return f"""
+SELECT lang, doc_id, rn AS rank, length(text) AS n_chars_m
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY length(text) DESC, doc_id ASC) AS rn
+  FROM documents WHERE {h} % {den} < {num}
+)
+WHERE rn <= {k}
 """
 
 
