@@ -10,4 +10,9 @@ catalog could be dropped in behind it later.
 """
 
 from clinvar_ingest_spark.lakelet.manifest import Manifest, FileEntry, ColumnSpec  # noqa: F401
-from clinvar_ingest_spark.lakelet.table import LakeletTable, PAGES_COLUMNS  # noqa: F401
+from clinvar_ingest_spark.lakelet.table import (  # noqa: F401
+    CommitConflictError,
+    LakeletTable,
+    PAGES_COLUMNS,
+)
+from clinvar_ingest_spark.lakelet.release import ReleaseSet, write_fanout_release  # noqa: F401

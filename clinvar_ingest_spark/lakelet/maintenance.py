@@ -149,12 +149,22 @@ def purge_tombstones(
     )
 
 
-def expire_snapshots(table: LakeletTable, keep_last: int = 3) -> dict:
+def expire_snapshots(
+    table: LakeletTable,
+    keep_last: int = 3,
+    also_keep: set[str] | frozenset[str] = frozenset(),
+) -> dict:
     """Expire all but the last ``keep_last`` snapshots of the current
     chain, then garbage-collect data files no surviving manifest
-    references. Returns {'expired': [...], 'deleted_files': n}."""
+    references. ``also_keep`` pins additional snapshot ids regardless
+    of age — release manifests pass the ids they reference so a
+    release-pinned cut can never be GC'd out from under an AS-OF
+    reader (use :func:`clinvar_ingest_spark.lakelet.release
+    .expire_releases` for the release-aware sweep).
+    Returns {'expired': [...], 'deleted_files': n}."""
     chain = table.history()  # oldest readable .. current
     keep = set(chain[-keep_last:]) if keep_last > 0 else {chain[-1]}
+    keep |= set(also_keep)
 
     expired = []
     for p in glob.glob(os.path.join(table.manifest_dir, "*.json")):

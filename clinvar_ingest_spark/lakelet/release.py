@@ -173,6 +173,39 @@ class ReleaseSet:
         return t.read(spark, snapshot_id=sid)
 
 
+def expire_releases(rs: ReleaseSet, keep_last: int = 3) -> dict:
+    """Release-aware retention sweep: expire all but the last
+    ``keep_last`` releases, then expire member-table snapshots —
+    pinning every snapshot id a SURVIVING release references, so AS-OF
+    reads of retained releases keep working after the sweep (the
+    member tables' own chain retention alone could GC a pinned cut).
+    Returns {'expired_releases': [...], 'tables': {name: stats}}."""
+    chain = rs.history()
+    keep_rel = chain[-keep_last:] if keep_last > 0 else chain[-1:]
+    expired = [r for r in chain if r not in set(keep_rel)]
+
+    pinned: dict[str, set[str]] = {}
+    for rid in keep_rel:
+        for name, sid in rs.release(rid)["tables"].items():
+            pinned.setdefault(name, set()).add(sid)
+
+    # drop expired release manifests (head pointers stay: they anchor
+    # the seq chain and are tiny; the latest is always preserved)
+    for rid in expired:
+        try:
+            os.unlink(rs._release_path(rid))
+        except FileNotFoundError:
+            pass
+
+    from clinvar_ingest_spark.lakelet.maintenance import expire_snapshots
+
+    stats: dict[str, dict] = {}
+    for name, keep_sids in pinned.items():
+        t = LakeletTable.load(os.path.join(rs.root, name))
+        stats[name] = expire_snapshots(t, keep_last=1, also_keep=keep_sids)
+    return {"expired_releases": expired, "tables": stats}
+
+
 def write_fanout_release(
     changelog: DataFrame,
     root: str,

@@ -133,3 +133,37 @@ def test_crash_mid_fanout_self_heals(spark, tmp_path, changelog_df, monkeypatch)
             map(str, ReleaseSet(clean).read_table(spark, name, rc).collect())
         )
         assert a == b, f"table {name} diverged after crash-recovery"
+
+
+def test_release_aware_expiry_keeps_pinned_cuts(spark, tmp_path, changelog_df):
+    """expire_releases drops old releases and GCs member snapshots but
+    PINS every snapshot a surviving release references — AS-OF reads of
+    retained releases survive the sweep."""
+    from clinvar_ingest_spark.lakelet.release import expire_releases
+
+    root = str(tmp_path / "rel")
+    rids = []
+    for i, hi in enumerate((200, 400, 600)):
+        rids.append(
+            write_fanout_release(
+                changelog_df.filter(f"seq < {hi}"), root, f"batch{i}",
+                entity_types=ENTS, n_buckets=4,
+            )
+        )
+    rs = ReleaseSet(root)
+    counts_before = {
+        r: rs.read_table(spark, "page", r).count() for r in rids[1:]
+    }
+
+    out = expire_releases(rs, keep_last=2)
+    assert out["expired_releases"] == [rids[0]]
+    assert rs.history() == rids[1:]
+
+    # retained releases still read the SAME data, tables still current
+    for r in rids[1:]:
+        assert rs.read_table(spark, "page", r).count() == counts_before[r]
+    # the expired release is gone and its unpinned snapshots were GC'd
+    with pytest.raises(FileNotFoundError):
+        rs.release(rids[0])
+    gc_stats = out["tables"]["page"]
+    assert isinstance(gc_stats["expired"], list)
