@@ -358,6 +358,18 @@ def merge_apply_cogrouped(
     """
     m = table.manifest()
 
+    from clinvar_ingest_spark.lakelet.table import _SPARK_TYPES
+
+    complex_cols = [c.name for c in m.columns if c.type not in _SPARK_TYPES]
+    if complex_cols:
+        raise ValueError(
+            f"cogroup merge does not support complex-typed columns "
+            f"{complex_cols} (the Arrow kernel's hash join cannot carry "
+            "list/struct payloads) — use strategy='join' "
+            "(merge_apply), which handles them incl. nested-schema "
+            "version matching"
+        )
+
     if assume_all_buckets:
         touched = list(range(m.n_buckets))
     else:

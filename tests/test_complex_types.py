@@ -284,3 +284,42 @@ def test_replay_convergence_with_arrays(spark, tmp_path):
         "b1",
     )
     assert content(t1) == content(t2)
+
+
+def test_cogroup_strategy_rejects_complex_types(spark, table):
+    """The default cogroup merge cannot carry list/struct payloads
+    through its Arrow hash join — it must fail with guidance, not die
+    inside a worker."""
+    from clinvar_ingest_spark.operators.merge_cogroup import (
+        merge_apply_cogrouped,
+    )
+
+    b = _batch(spark, [(1, "insert", "u1", _ts(1), ["a"], [("d", "1")], 1)])
+    with pytest.raises(ValueError, match="strategy='join'"):
+        merge_apply_cogrouped(spark, table, b, "b0")
+
+
+def test_array_element_widen(spark, tmp_path):
+    """array<int> → array<long> is a metadata-only widen; old files
+    read through an element cast."""
+    from clinvar_ingest_spark.lakelet.table import LakeletTable
+
+    cols = [
+        ColumnSpec(1, "url", "string"),
+        ColumnSpec(2, "warc_ts", "timestamp"),
+        ColumnSpec(3, "nums", "array<int>"),
+        ColumnSpec(4, "_seq", "long"),
+        ColumnSpec(5, "_deleted", "boolean"),
+    ]
+    t = LakeletTable.create(str(tmp_path / "w"), cols, n_buckets=2, key_col="url")
+    schema = (
+        "seq long, op string, url string, warc_ts timestamp, nums array<int>"
+    )
+    b = spark.createDataFrame([(1, "insert", "u1", _ts(1), [1, 2])], schema)
+    merge_apply(spark, t, b, "b0")
+    t.widen_column("nums", "array<long>")
+    r = t.read(spark).collect()[0]
+    assert r["nums"] == [1, 2]
+    assert dict(t.read(spark).dtypes)["nums"] == "array<bigint>"
+    with pytest.raises(ValueError, match="illegal widen"):
+        t.widen_column("nums", "array<string>")
