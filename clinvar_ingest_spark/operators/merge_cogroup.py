@@ -258,14 +258,19 @@ def _merge_bucket_fn(
         )
         in_batch = m["b_url"].notna()
         in_cur = m["c_url"].notna()
-        c_del = m["c__deleted"].fillna(False).astype(bool)
+        # explicit nullable-bool route: fillna on object dtype relies on
+        # deprecated silent downcasting (pandas 3 removes it)
+        c_del = m["c__deleted"].astype("boolean").fillna(False).astype(bool)
         cur_live = in_cur & ~c_del
 
         # late-event guard: batch wins iff no current row or
-        # (warc_ts, seq) lexicographically greater
+        # (warc_ts, seq) lexicographically greater. NaN comparisons from
+        # the outer merge are semantically False (fillna below); errstate
+        # just silences numpy's per-batch warning about them.
         b_ts = m["b_warc_ts"]
         c_ts = m["c_warc_ts"]
-        newer = (b_ts > c_ts) | ((b_ts == c_ts) & (m["b_seq"] > m["c__seq"]))
+        with np.errstate(invalid="ignore"):
+            newer = (b_ts > c_ts) | ((b_ts == c_ts) & (m["b_seq"] > m["c__seq"]))
         batch_wins = in_batch & (~in_cur | newer.fillna(False))
 
         # delete winners become TOMBSTONE rows (soft delete) — see the
@@ -309,17 +314,22 @@ def _merge_bucket_fn(
             if c == "text":
                 out[c] = text
                 continue
+            # object dtype through the where-chain: pandas' silent
+            # downcasting inside `where` is deprecated, and the Arrow
+            # boundary re-casts to the declared schema anyway
             cur_v = m[f"c_{c}"]
             if c in ("url", "warc_ts", "_seq"):
                 src = {"url": "b_url", "warc_ts": "b_warc_ts", "_seq": "b_seq"}[c]
-                out[c] = cur_v.where(~wins, m[src])
+                out[c] = cur_v.astype(object).where(~wins, m[src])
             elif c == "_deleted":
                 out[c] = c_del.where(~wins, is_del)
             elif alias.get(c, c) in batch_set:
                 src = alias.get(c, c)
-                out[c] = cur_v.where(~tomb, None).where(~take, m[f"b_{src}"])
+                out[c] = (
+                    cur_v.astype(object).where(~tomb, None).where(~take, m[f"b_{src}"])
+                )
             else:  # evolved column unknown to this batch
-                out[c] = cur_v.where(~tomb, None)
+                out[c] = cur_v.astype(object).where(~tomb, None)
         res = pd.DataFrame(out)
         # arrow-boundary hygiene: NaN → None in object columns (binary/
         # string types reject float NaN), integral lineage cols re-cast
