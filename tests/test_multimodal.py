@@ -121,3 +121,38 @@ def test_documents_adapter(spark):
     feats = mm.extract_media_features(mm.documents_as_media(docs)).collect()[0]
     assert feats["n_bytes"] == 5
     assert feats["first_byte"] == ord("h")
+
+
+# ---- property-based decoder round-trips (pure numpy, no Spark) ----
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=16),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_ppm_roundtrip_property(w, h, seed):
+    payload, px = make_ppm(w, h, seed=seed)
+    dw, dh, arr = mm.decode_ppm(payload)
+    assert (dw, dh) == (w, h)
+    assert np.array_equal(arr, px)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=16),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_bmp_roundtrip_property(w, h, seed):
+    """Every width exercises a different stride padding (w*3 mod 4)."""
+    payload, px = make_bmp(w, h, seed=seed)
+    dw, dh, arr = mm.decode_bmp(payload)
+    assert (dw, dh) == (w, h)
+    assert np.array_equal(arr, px)
+    feat = mm.decode_image_builtin(payload)
+    assert feat[0] == float(w) and feat[1] == float(h)
+    assert feat[2] == pytest.approx(px.astype(np.float64).mean())
