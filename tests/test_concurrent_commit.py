@@ -188,3 +188,55 @@ def test_same_batch_from_two_writers_is_idempotent(spark, tmp_path):
     ref.apply_batch(a, 0, 399)
     assert eng.state_hash() == ref.state_hash()
     assert len(eng.table.history()) == 2  # genesis + one commit
+
+
+def test_orphan_manifest_does_not_satisfy_idempotency(spark, tmp_path):
+    """Crash window: a manifest file written but never head-linked (the
+    writer died between the two steps) must NOT short-circuit a retry —
+    the batch re-commits and lands on the chain."""
+    a = _changelog_df(spark, tmp_path, "a", 300, 31, "hostaaaa")
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=4)
+    t = eng.table
+    m = t.manifest()
+
+    # simulate the crash: manifest exists, head link missing
+    from clinvar_ingest_spark.lakelet.manifest import Manifest, snapshot_id_for
+    from clinvar_ingest_spark.streaming.ledger import batch_id_for
+
+    bid = batch_id_for(0, 299)
+    sid = snapshot_id_for(m.snapshot_id, bid, m.schema_version)
+    orphan = Manifest(
+        snapshot_id=sid, parent_id=m.snapshot_id, batch_id=bid,
+        schema_version=m.schema_version, n_buckets=m.n_buckets,
+        schemas=m.schemas, files=[], summary=dict(m.summary),
+    )
+    t._write_manifest(orphan)
+    assert t.has_snapshot(sid) and not t._is_committed(sid)
+    assert t.current_snapshot_id() == m.snapshot_id  # head unmoved
+
+    # retrying the batch re-commits for real (orphan did not satisfy
+    # the idempotency check) and the data is present
+    stats = eng.apply_batch(a, 0, 299)
+    assert stats is not None and stats.n_events > 0
+    assert t._is_committed(t.current_snapshot_id())
+    assert eng.pages().count() > 0
+
+
+def test_current_cache_self_heals(spark, tmp_path):
+    """_current.json is a cache: deleting or staling it never changes
+    what current_snapshot_id() answers (the head chain is authority)."""
+    import os
+
+    a = _changelog_df(spark, tmp_path, "a", 300, 32, "hostaaaa")
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=4)
+    eng.apply_batch(a, 0, 299)
+    t = eng.table
+    cur = t.current_snapshot_id()
+
+    os.unlink(t._current_path())
+    assert t.current_snapshot_id() == cur  # re-derived from heads
+    assert os.path.exists(t._current_path())  # and repaired
+
+    # stale cache (crash between link and cache write) also heals
+    t._set_current("deadbeef" * 2 + "dead")
+    assert t.current_snapshot_id() == cur
