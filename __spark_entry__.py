@@ -418,6 +418,35 @@ def _ensure_cdc_fixture() -> str:
     return path
 
 
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data composition (round 3): near-dup dedup →
+    one keeper per cluster → token-count quality gate → per-language
+    corpus stats. The whole suite composed as one declarative plan —
+    what a 100 TB pipeline actually runs between crawl and tokenizer —
+    mirrored by a single DuckDB oracle (recursive-CTE clustering +
+    the same gate)."""
+    from clinvar_ingest_spark.functions.text import token_count
+    from clinvar_ingest_spark.operators.dedupe import dedup_cluster_assignment
+
+    docs = _t(spark, sf_dir, "documents")
+    keepers = (
+        dedup_cluster_assignment(docs, n=3, threshold=0.5, max_shingle_df=1000)
+        .filter("is_keeper")
+        .select("doc_id")
+    )
+    kept = docs.join(keepers, "doc_id").withColumn(
+        "n_tok", token_count(F.col("text"))
+    )
+    return (
+        kept.filter(F.col("n_tok") >= 20)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+    )
+
+
 def q_corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data selection (round 3): a deterministic 10 % hash
     sample of the corpus (pure function of doc_id via the cross-engine
@@ -832,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
         "corpus_sample_stratified": q_corpus_sample_stratified,
+        "training_pipeline": q_training_pipeline,
         # sketch/engine family — exact oracles via cross-engine md5
         # hashing (functions/xhash.py) + the tombstoned LWW equivalence:
         "canonical_props": q_canonical_props,
@@ -1045,6 +1075,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "corpus_sample_stratified": _corpus_sample_sql(),
+        "training_pipeline": _training_pipeline_sql(threshold=0.5, min_tokens=20),
         "multimodal_decode": """
             -- the oracle recomputes the decoded pixel sum from the
             -- generating formula; width/height prove the header parse
@@ -1159,13 +1190,15 @@ def oracle_sql() -> dict[str, str]:
 # compute bit-identical hashes/buckets.
 # --------------------------------------------------------------------------
 
-def _dedup_clusters_sql(threshold: float) -> str:
+def _cluster_ctes(threshold: float) -> str:
+    """Shared DuckDB CTE body: jaccard pairs → symmetric edges →
+    recursive transitive closure (used by dedup_clusters AND the
+    end-to-end training_pipeline oracle)."""
     from fractions import Fraction
 
     fr = Fraction(threshold).limit_denominator(10_000)
     p, q = fr.numerator, fr.denominator
-    return rf"""
-WITH RECURSIVE g AS (
+    return rf"""g AS (
   SELECT doc_id,
          list_distinct(
            list_transform(
@@ -1191,11 +1224,36 @@ reach(id, r) AS (
   SELECT doc_id, doc_id FROM documents
   UNION
   SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
-)
+)"""
+
+
+def _dedup_clusters_sql(threshold: float) -> str:
+    return f"""
+WITH RECURSIVE {_cluster_ctes(threshold)}
 SELECT id AS doc_id,
        min(r) AS cluster_id,
        (id = min(r)) AS is_keeper
 FROM reach GROUP BY id
+"""
+
+
+def _training_pipeline_sql(threshold: float, min_tokens: int) -> str:
+    return rf"""
+WITH RECURSIVE {_cluster_ctes(threshold)},
+keepers AS (
+  SELECT id AS doc_id FROM reach GROUP BY id HAVING id = min(r)
+),
+kept AS (
+  SELECT d.lang,
+         CASE WHEN length(trim(d.text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(d.text), '\s+')) END AS n_tok
+  FROM documents d JOIN keepers USING (doc_id)
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens
+FROM kept WHERE n_tok >= {min_tokens}
+GROUP BY lang
 """
 
 
