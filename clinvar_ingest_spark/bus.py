@@ -57,11 +57,17 @@ class FileNotifySink:
         if self.filename is not None:
             path = os.path.join(self.directory, self.filename)
         else:
-            n = sum(
-                1 for f in os.listdir(self.directory)
-                if f.startswith("notify-") and f.endswith(".json")
-            )
-            path = os.path.join(self.directory, f"notify-{n + 1:06d}.json")
+            # max existing sequence + 1, NOT a count: a consumer that
+            # deletes processed records would otherwise make the count
+            # collide with (and overwrite) a surviving record
+            mx = 0
+            for f in os.listdir(self.directory):
+                if f.startswith("notify-") and f.endswith(".json"):
+                    try:
+                        mx = max(mx, int(f[7:-5]))
+                    except ValueError:
+                        continue
+            path = os.path.join(self.directory, f"notify-{mx + 1:06d}.json")
         atomic_write_json(path, message)
 
     def close(self) -> None:  # nothing buffered

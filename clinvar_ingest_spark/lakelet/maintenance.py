@@ -153,6 +153,7 @@ def expire_snapshots(
     table: LakeletTable,
     keep_last: int = 3,
     also_keep: set[str] | frozenset[str] = frozenset(),
+    in_flight_grace_secs: float = 0.0,
 ) -> dict:
     """Expire all but the last ``keep_last`` snapshots of the current
     chain, then garbage-collect data files no surviving manifest
@@ -161,7 +162,29 @@ def expire_snapshots(
     release-pinned cut can never be GC'd out from under an AS-OF
     reader (use :func:`clinvar_ingest_spark.lakelet.release
     .expire_releases` for the release-aware sweep).
+
+    ``in_flight_grace_secs``: with OPTIMISTIC multi-writer commits a
+    concurrent writer may have written its manifest (or promoted data
+    files) but not yet won its head CAS — such artifacts are off the
+    committed chain and would look expirable. Anything younger than
+    the grace window is left alone (manifest AND data file mtimes), so
+    set it above your longest commit duration when expiry can run
+    concurrently with writers; 0 (default) preserves exact single-
+    writer semantics. Unattended entry points (jobs/maintain.py,
+    jobs/fanout_release.py) default it to 600 s.
     Returns {'expired': [...], 'deleted_files': n}."""
+    import time as _time
+
+    now = _time.time()
+
+    def _in_grace(path: str) -> bool:
+        if in_flight_grace_secs <= 0:
+            return False
+        try:
+            return now - os.path.getmtime(path) < in_flight_grace_secs
+        except FileNotFoundError:
+            return False
+
     chain = table.history()  # oldest readable .. current
     keep = set(chain[-keep_last:]) if keep_last > 0 else {chain[-1]}
     keep |= set(also_keep)
@@ -173,7 +196,7 @@ def expire_snapshots(
         if name.startswith("_") or name.startswith("head-"):
             continue
         sid = name[:-5]
-        if sid not in keep:
+        if sid not in keep and not _in_grace(p):
             expired.append(sid)
 
     # phase 0: record the expired ids (audit trail; lets operators
@@ -219,7 +242,9 @@ def expire_snapshots(
     deleted = 0
     for p in glob.glob(os.path.join(table.data_dir, "*.parquet")):
         rel = os.path.relpath(p, table.root)
-        if rel not in live_files:
+        # grace also protects freshly-promoted files whose writer
+        # hasn't written its manifest yet (mid-commit)
+        if rel not in live_files and not _in_grace(p):
             os.unlink(p)
             deleted += 1
 

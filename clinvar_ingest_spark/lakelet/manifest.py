@@ -147,6 +147,47 @@ def snapshot_id_for(parent_id: str | None, batch_id: str, schema_version: int) -
     return hashlib.sha256(payload.encode("utf-8")).hexdigest()[:20]
 
 
+def link_pointer(directory: str, name: str, payload: dict) -> None:
+    """Atomically create an immutable pointer file via os.link — the
+    filesystem CAS both the table head chain and the release head
+    chain commit through. Raises FileExistsError if another writer
+    already took the slot (the loser's signal to re-plan)."""
+    import tempfile
+
+    os.makedirs(directory, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=directory, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(payload, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.link(tmp, os.path.join(directory, name))
+    finally:
+        os.unlink(tmp)
+
+
+def latest_pointer(directory: str, prefix: str = "head-") -> tuple[int, dict] | None:
+    """(seq, payload) of the highest ``{prefix}{seq:012d}.json`` pointer
+    in ``directory``, or None when the chain doesn't exist yet."""
+    try:
+        names = os.listdir(directory)
+    except FileNotFoundError:
+        return None
+    best = None
+    plen = len(prefix)
+    for n in names:
+        if n.startswith(prefix) and n.endswith(".json"):
+            try:
+                seq = int(n[plen:-5])
+            except ValueError:
+                continue
+            if best is None or seq > best:
+                best = seq
+    if best is None:
+        return None
+    return best, read_json(os.path.join(directory, f"{prefix}{best:012d}.json"))
+
+
 def atomic_write_json(path: str, obj: dict) -> None:
     """Write-then-rename: readers never observe a torn manifest."""
     d = os.path.dirname(path)

@@ -65,22 +65,10 @@ class ReleaseSet:
         return os.path.join(self.release_dir, "_current.json")
 
     def _latest_head(self) -> tuple[int, str] | None:
-        try:
-            names = os.listdir(self.release_dir)
-        except FileNotFoundError:
-            return None
-        best = None
-        for n in names:
-            if n.startswith("head-") and n.endswith(".json"):
-                try:
-                    seq = int(n[5:-5])
-                except ValueError:
-                    continue
-                if best is None or seq > best:
-                    best = seq
-        if best is None:
-            return None
-        return best, read_json(self._head_path(best))["release_id"]
+        from clinvar_ingest_spark.lakelet.manifest import latest_pointer
+
+        h = latest_pointer(self.release_dir)
+        return None if h is None else (h[0], h[1]["release_id"])
 
     def current_release_id(self) -> str | None:
         h = self._latest_head()
@@ -126,18 +114,14 @@ class ReleaseSet:
                 "tables": dict(sorted(tables.items())),
             },
         )
-        import tempfile
+        from clinvar_ingest_spark.lakelet.manifest import link_pointer
 
-        os.makedirs(self.release_dir, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=self.release_dir, suffix=".tmp")
         try:
-            with os.fdopen(fd, "w") as f:
-                import json as _json
-
-                _json.dump({"release_id": rid, "commit_seq": seq}, f)
-                f.flush()
-                os.fsync(f.fileno())
-            os.link(tmp, self._head_path(seq))
+            link_pointer(
+                self.release_dir,
+                f"head-{seq:012d}.json",
+                {"release_id": rid, "commit_seq": seq},
+            )
         except FileExistsError:
             winner = read_json(self._head_path(seq))["release_id"]
             if winner == rid:
@@ -149,8 +133,6 @@ class ReleaseSet:
             raise CommitConflictError(
                 f"release seq {seq} taken by {winner} (ours: {rid})"
             )
-        finally:
-            os.unlink(tmp)
         atomic_write_json(self._current_path(), {"release_id": rid})
         return rid
 
@@ -173,7 +155,9 @@ class ReleaseSet:
         return t.read(spark, snapshot_id=sid)
 
 
-def expire_releases(rs: ReleaseSet, keep_last: int = 3) -> dict:
+def expire_releases(
+    rs: ReleaseSet, keep_last: int = 3, in_flight_grace_secs: float = 0.0
+) -> dict:
     """Release-aware retention sweep: expire all but the last
     ``keep_last`` releases, then expire member-table snapshots —
     pinning every snapshot id a SURVIVING release references, so AS-OF
@@ -199,10 +183,21 @@ def expire_releases(rs: ReleaseSet, keep_last: int = 3) -> dict:
 
     from clinvar_ingest_spark.lakelet.maintenance import expire_snapshots
 
+    # sweep EVERY member table on disk, not only those named by
+    # surviving releases — a table dropped from the fan-out set would
+    # otherwise retain its whole snapshot chain forever
+    members = [
+        n for n in sorted(os.listdir(rs.root))
+        if not n.startswith("_")
+        and os.path.isdir(os.path.join(rs.root, n, "manifests"))
+    ]
     stats: dict[str, dict] = {}
-    for name, keep_sids in pinned.items():
+    for name in members:
         t = LakeletTable.load(os.path.join(rs.root, name))
-        stats[name] = expire_snapshots(t, keep_last=1, also_keep=keep_sids)
+        stats[name] = expire_snapshots(
+            t, keep_last=1, also_keep=pinned.get(name, set()),
+            in_flight_grace_secs=in_flight_grace_secs,
+        )
     return {"expired_releases": expired, "tables": stats}
 
 

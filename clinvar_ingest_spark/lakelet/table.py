@@ -236,7 +236,20 @@ class LakeletTable:
         return os.path.join(self.manifest_dir, f"{sid}.json")
 
     def _write_manifest(self, m: Manifest) -> None:
-        atomic_write_json(self._manifest_path(m.snapshot_id), m.to_json())
+        """Create-if-absent: manifests are content-addressed by
+        snapshot id, so the FIRST writer of a sid wins the file and a
+        same-batch racer must not clobber it (its file list would name
+        the racer's data files, which the racer then GCs on losing the
+        head CAS). Any existing manifest for a sid is complete —
+        manifests are only written after promotion finishes."""
+        from clinvar_ingest_spark.lakelet.manifest import link_pointer
+
+        try:
+            link_pointer(
+                self.manifest_dir, f"{m.snapshot_id}.json", m.to_json()
+            )
+        except FileExistsError:
+            pass
 
     def _set_current(self, sid: str) -> None:
         atomic_write_json(self._current_path(), {"snapshot_id": sid})
@@ -260,47 +273,39 @@ class LakeletTable:
     def _link_head(self, seq: int, sid: str) -> None:
         """Atomically create the head pointer for ``seq`` (the CAS).
         Raises FileExistsError if another writer already took it."""
-        import tempfile
+        from clinvar_ingest_spark.lakelet.manifest import link_pointer
 
-        os.makedirs(self.manifest_dir, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=self.manifest_dir, suffix=".tmp")
-        try:
-            with os.fdopen(fd, "w") as f:
-                import json as _json
-
-                _json.dump({"snapshot_id": sid, "commit_seq": seq}, f)
-                f.flush()
-                os.fsync(f.fileno())
-            os.link(tmp, self._head_path(seq))
-        finally:
-            os.unlink(tmp)
+        link_pointer(
+            self.manifest_dir,
+            f"head-{seq:012d}.json",
+            {"snapshot_id": sid, "commit_seq": seq},
+        )
 
     def _latest_head(self) -> tuple[int, str] | None:
         """(seq, sid) of the highest committed head, or None (legacy
         table without a head chain)."""
-        best = None
+        from clinvar_ingest_spark.lakelet.manifest import latest_pointer
+
+        h = latest_pointer(self.manifest_dir)
+        return None if h is None else (h[0], h[1]["snapshot_id"])
+
+    def _is_committed_child(self, sid: str, parent: Manifest) -> bool:
+        """O(1) committed check for the commit path: ``sid`` (the
+        deterministic child of ``parent``) is committed iff the head
+        slot parent.commit_seq+1 exists and names it. A manifest FILE
+        alone proves nothing — a writer may have crashed between
+        manifest write and head link, and such orphans must not
+        satisfy idempotency short-circuits."""
+        hp = self._head_path(int(parent.summary.get("commit_seq", 0)) + 1)
         try:
-            names = os.listdir(self.manifest_dir)
+            return read_json(hp)["snapshot_id"] == sid
         except FileNotFoundError:
-            return None
-        for n in names:
-            if n.startswith("head-") and n.endswith(".json"):
-                try:
-                    seq = int(n[5:-5])
-                except ValueError:
-                    continue
-                if best is None or seq > best:
-                    best = seq
-        if best is None:
-            return None
-        return best, read_json(self._head_path(best))["snapshot_id"]
+            return False
 
     def _is_committed(self, sid: str) -> bool:
         """True iff ``sid`` is on the committed chain (an ancestor of —
-        or equal to — the current head). A manifest FILE may exist for
-        a snapshot that never won its CAS (writer crashed between
-        manifest write and head link, or lost the race): such orphans
-        must not satisfy idempotency short-circuits."""
+        or equal to — the current head). O(chain) walk — diagnostics /
+        tests; the commit path uses :meth:`_is_committed_child`."""
         if not self.has_snapshot(sid):
             return False
         s = self.current_snapshot_id()
@@ -427,6 +432,19 @@ class LakeletTable:
         except FileExistsError:
             winner = read_json(self._head_path(seq))["snapshot_id"]
             if winner == nm.snapshot_id:
+                # idempotent race on the SAME batch: the committed
+                # manifest is whichever writer created the (create-if-
+                # absent) manifest file; delete only this writer's
+                # staged files that the committed manifest does NOT
+                # reference — they're unreachable orphans
+                referenced = {f.path for f in self.manifest(nm.snapshot_id).files}
+                for p in cleanup_paths or ():
+                    if p in referenced:
+                        continue
+                    try:
+                        os.unlink(os.path.join(self.root, p))
+                    except FileNotFoundError:
+                        pass
                 self._set_current(nm.snapshot_id)
                 return
             try:
@@ -480,7 +498,7 @@ class LakeletTable:
                 f"{m.snapshot_id} — re-plan the merge"
             )
         sid = snapshot_id_for(m.snapshot_id, batch_id, m.schema_version)
-        if self._is_committed(sid):
+        if self._is_committed_child(sid, m):
             if stats_out is not None:
                 stats_out["skipped"] = True
             return sid
@@ -489,12 +507,16 @@ class LakeletTable:
 
         t0 = _time.time()
         cols = [c.name for c in m.columns]
-        # staging dir unique PER WRITER: two writers racing on the same
-        # batch compute the same sid, and a shared staging path would
-        # corrupt both writes before the CAS ever arbitrates
+        # per-writer token: two writers racing on the same batch compute
+        # the same sid, so BOTH the staging dir and the promoted data
+        # file names must be unique per writer — a shared staging path
+        # would corrupt both writes, and shared final names would let
+        # the loser's os.replace overwrite the winner's already-
+        # committed files after the CAS was decided
         import uuid as _uuid
 
-        staging = os.path.join(self.root, f"_staging-{sid}-{_uuid.uuid4().hex[:8]}")
+        token = _uuid.uuid4().hex[:8]
+        staging = os.path.join(self.root, f"_staging-{sid}-{token}")
         # writers of live rows may omit the tombstone lineage column
         if "_deleted" in cols and "_deleted" not in new_bucket_data.columns:
             new_bucket_data = new_bucket_data.withColumn("_deleted", F.lit(False))
@@ -517,7 +539,9 @@ class LakeletTable:
             b = int(os.path.basename(bdir).split("=")[1])
             parts = sorted(glob.glob(os.path.join(bdir, "*.parquet")))
             for i, p in enumerate(parts):
-                promotions.append((p, f"data/b{b:05d}-{sid}-{i}.parquet", b))
+                promotions.append(
+                    (p, f"data/b{b:05d}-{sid}-{token}-{i}.parquet", b)
+                )
 
         def promote(job: tuple[str, str, int]) -> FileEntry:
             src, rel, b = job
@@ -580,7 +604,7 @@ class LakeletTable:
         new_ver = m.schema_version + 1
         new_cols = mutate([c.clone() for c in m.columns])
         sid = snapshot_id_for(m.snapshot_id, batch_id, new_ver)
-        if self._is_committed(sid):
+        if self._is_committed_child(sid, m):
             return sid
         schemas = dict(m.schemas)
         schemas[new_ver] = new_cols

@@ -150,9 +150,18 @@ def _decode_batch(payloads: pd.Series, kinds: pd.Series, fake: bool) -> list[lis
         pil = _real_decoder()  # rich formats, import-gated
         out = []
         for b, k in zip(payloads, kinds):
-            if k != "image" or not b:
+            if not b:  # NULL/empty payload: zero feature (documented)
                 out.append([0.0, 0.0, 0.0, 0.0])
                 continue
+            if k != "image":
+                # LOUD failure, not silent zeros: no audio/video decoder
+                # exists, and all-zero "features" would be
+                # indistinguishable from real decoded values downstream
+                raise NotImplementedError(
+                    f"no real decoder for kind={k!r} — only image "
+                    "(PPM/BMP builtin, PIL import-gated); pass fake=True "
+                    "for the deterministic byte-moment stub"
+                )
             feat = decode_image_builtin(bytes(b))
             if feat is not None:
                 out.append(feat)

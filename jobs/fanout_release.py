@@ -33,9 +33,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--expire-keep", type=int,
                    help="after (or without) the fan-out, keep only the "
                         "last N releases and GC unpinned member snapshots")
+    p.add_argument("--expire-grace", type=float, default=600.0,
+                   help="seconds: leave commit artifacts younger than "
+                        "this alone (in-flight multi-writer protection)")
     p.add_argument("--master", default="submit")
     args = p.parse_args(argv)
-    if not args.changelog and not args.expire_keep:
+    if not args.changelog and args.expire_keep is None:
         p.error("need --changelog (+ --batch-id) and/or --expire-keep")
     if args.changelog and not args.batch_id:
         p.error("--changelog requires --batch-id")
@@ -62,9 +65,11 @@ def main(argv: list[str] | None = None) -> int:
         rs = ReleaseSet(args.root)
         out["release_id"] = rid
         out["tables"] = rs.release(rid)["tables"]
-    if args.expire_keep:
+    if args.expire_keep is not None:
         out["expire"] = expire_releases(
-            ReleaseSet(args.root), keep_last=args.expire_keep
+            ReleaseSet(args.root),
+            keep_last=args.expire_keep,
+            in_flight_grace_secs=args.expire_grace,
         )
     print(json.dumps(out))
     return 0

@@ -27,6 +27,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--rebucket", type=int, help="rewrite under N hash buckets")
     p.add_argument("--expire-keep", type=int,
                    help="expire all but the last N snapshots + GC data files")
+    p.add_argument("--expire-grace", type=float, default=600.0,
+                   help="seconds: leave commit artifacts younger than this "
+                        "alone (in-flight multi-writer protection)")
     p.add_argument("--purge-tombstones-before", metavar="TS",
                    help="drop delete tombstones with warc_ts < TS (ISO)")
     p.add_argument("--master", default="submit")
@@ -54,7 +57,10 @@ def main(argv: list[str] | None = None) -> int:
             spark, eng.table, args.purge_tombstones_before
         )
     if args.expire_keep:
-        out["expire"] = expire_snapshots(eng.table, keep_last=args.expire_keep)
+        out["expire"] = expire_snapshots(
+            eng.table, keep_last=args.expire_keep,
+            in_flight_grace_secs=args.expire_grace,
+        )
 
     after = eng.state_hash()
     out["state_hash_unchanged"] = after == before

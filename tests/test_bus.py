@@ -153,3 +153,20 @@ def test_file_changelog_source_stream_drives_tail(spark, tmp_path):
     assert eng.state_hash() == ref.state_hash()
     # batch() reads the same rows
     assert FileChangelogSource(str(seg)).batch(spark).count() == len(pdf)
+
+
+def test_file_notify_sequence_survives_consumer_deletions(tmp_path):
+    """Sequence numbers come from max existing seq + 1 (not a count):
+    a consumer deleting processed records must never cause a new
+    record to overwrite a surviving one."""
+    d = str(tmp_path / "n2")
+    s = FileNotifySink(d, filename=None)
+    for i in range(3):
+        s.send({"i": i + 1})
+    os.unlink(os.path.join(d, "notify-000001.json"))
+    os.unlink(os.path.join(d, "notify-000002.json"))
+    s.send({"i": 4})
+    names = sorted(f for f in os.listdir(d) if f.startswith("notify-"))
+    assert names == ["notify-000003.json", "notify-000004.json"]
+    assert json.load(open(os.path.join(d, "notify-000003.json"))) == {"i": 3}
+    assert json.load(open(os.path.join(d, "notify-000004.json"))) == {"i": 4}

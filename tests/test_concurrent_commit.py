@@ -191,35 +191,42 @@ def test_same_batch_from_two_writers_is_idempotent(spark, tmp_path):
 
 
 def test_orphan_manifest_does_not_satisfy_idempotency(spark, tmp_path):
-    """Crash window: a manifest file written but never head-linked (the
-    writer died between the two steps) must NOT short-circuit a retry —
-    the batch re-commits and lands on the chain."""
-    a = _changelog_df(spark, tmp_path, "a", 300, 31, "hostaaaa")
-    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=4)
-    t = eng.table
-    m = t.manifest()
+    """Crash window: the writer completed promotion and the manifest
+    write but died BEFORE the head link (and before its ledger
+    record). The orphan manifest must not short-circuit the retry;
+    the retry reconverges to the exact pre-crash state."""
+    import os
 
-    # simulate the crash: manifest exists, head link missing
-    from clinvar_ingest_spark.lakelet.manifest import Manifest, snapshot_id_for
     from clinvar_ingest_spark.streaming.ledger import batch_id_for
 
-    bid = batch_id_for(0, 299)
-    sid = snapshot_id_for(m.snapshot_id, bid, m.schema_version)
-    orphan = Manifest(
-        snapshot_id=sid, parent_id=m.snapshot_id, batch_id=bid,
-        schema_version=m.schema_version, n_buckets=m.n_buckets,
-        schemas=m.schemas, files=[], summary=dict(m.summary),
-    )
-    t._write_manifest(orphan)
-    assert t.has_snapshot(sid) and not t._is_committed(sid)
-    assert t.current_snapshot_id() == m.snapshot_id  # head unmoved
+    a = _changelog_df(spark, tmp_path, "a", 300, 31, "hostaaaa")
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=4)
+    eng.apply_batch(a, 0, 299)
+    t = eng.table
+    sid = t.current_snapshot_id()
+    want_hash = eng.state_hash()
+    genesis = t.manifest(sid).parent_id
 
-    # retrying the batch re-commits for real (orphan did not satisfy
-    # the idempotency check) and the data is present
-    stats = eng.apply_batch(a, 0, 299)
+    # rewind to the crash state: head link + ledger record gone,
+    # manifest + data files still on disk
+    os.unlink(t._head_path(1))
+    os.unlink(os.path.join(t.ledger_dir, f"{batch_id_for(0, 299)}.json"))
+    try:
+        os.unlink(t._current_path())  # stale cache also plausible
+    except FileNotFoundError:
+        pass
+    assert t.current_snapshot_id() == genesis
+    assert t.has_snapshot(sid) and not t._is_committed(sid)
+
+    # retry through a fresh engine handle: the orphan does not satisfy
+    # idempotency, the batch re-commits, state equals pre-crash
+    eng2 = CdcEngine(spark, str(tmp_path / "t"), n_buckets=4)
+    stats = eng2.apply_batch(a, 0, 299)
     assert stats is not None and stats.n_events > 0
-    assert t._is_committed(t.current_snapshot_id())
-    assert eng.pages().count() > 0
+    assert eng2.table.current_snapshot_id() == sid
+    assert eng2.table._is_committed(sid)
+    assert eng2.state_hash() == want_hash
+    assert eng2.pages().count() > 0
 
 
 def test_current_cache_self_heals(spark, tmp_path):
@@ -240,3 +247,35 @@ def test_current_cache_self_heals(spark, tmp_path):
     # stale cache (crash between link and cache write) also heals
     t._set_current("deadbeef" * 2 + "dead")
     assert t.current_snapshot_id() == cur
+
+
+def test_manifest_create_if_absent_and_tokened_file_names(spark, tmp_path):
+    """Same-batch racers are isolated end-to-end: data files carry a
+    per-writer token (the loser's os.replace can never hit the
+    winner's committed files) and the manifest file is create-if-
+    absent (a racer cannot clobber the committed file list)."""
+    import os
+    import re
+
+    from clinvar_ingest_spark.lakelet.manifest import Manifest
+
+    a = _changelog_df(spark, tmp_path, "a", 300, 41, "hostaaaa")
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=4)
+    eng.apply_batch(a, 0, 299)
+    t = eng.table
+    m = t.manifest()
+    pat = re.compile(r"^data/b\d{5}-[0-9a-f]{20}-[0-9a-f]{8}-\d+\.parquet$")
+    assert m.files and all(pat.match(f.path) for f in m.files)
+
+    # attempting to rewrite the committed manifest is a no-op
+    bogus = Manifest(
+        snapshot_id=m.snapshot_id, parent_id=m.parent_id,
+        batch_id="clobber", schema_version=m.schema_version,
+        n_buckets=m.n_buckets, schemas=m.schemas, files=[],
+        summary=dict(m.summary),
+    )
+    t._write_manifest(bogus)
+    assert [f.path for f in t.manifest().files] == [f.path for f in m.files]
+    # ...and every referenced file is still on disk
+    for f in t.manifest().files:
+        assert os.path.exists(os.path.join(t.root, f.path))
