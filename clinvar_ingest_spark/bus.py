@@ -55,20 +55,30 @@ class FileNotifySink:
 
         os.makedirs(self.directory, exist_ok=True)
         if self.filename is not None:
-            path = os.path.join(self.directory, self.filename)
-        else:
-            # max existing sequence + 1, NOT a count: a consumer that
-            # deletes processed records would otherwise make the count
-            # collide with (and overwrite) a surviving record
-            mx = 0
-            for f in os.listdir(self.directory):
-                if f.startswith("notify-") and f.endswith(".json"):
-                    try:
-                        mx = max(mx, int(f[7:-5]))
-                    except ValueError:
-                        continue
-            path = os.path.join(self.directory, f"notify-{mx + 1:06d}.json")
-        atomic_write_json(path, message)
+            atomic_write_json(
+                os.path.join(self.directory, self.filename), message
+            )
+            return
+        # sequence mode: max existing seq + 1 (a count would collide
+        # after consumer deletions), created via the link CAS so two
+        # concurrent senders can never overwrite each other's record —
+        # the loser retries on the next slot
+        from clinvar_ingest_spark.lakelet.manifest import link_pointer
+
+        mx = 0
+        for f in os.listdir(self.directory):
+            if f.startswith("notify-") and f.endswith(".json"):
+                try:
+                    mx = max(mx, int(f[7:-5]))
+                except ValueError:
+                    continue
+        for seq in range(mx + 1, mx + 1_000_000):
+            try:
+                link_pointer(self.directory, f"notify-{seq:06d}.json", message)
+                return
+            except FileExistsError:
+                continue
+        raise RuntimeError("could not claim a notify sequence slot")
 
     def close(self) -> None:  # nothing buffered
         pass

@@ -60,7 +60,14 @@ def rebucket(
     df = table.read(spark).withColumn(
         "_bucket", bucket_expr(table.key_col, new_n_buckets)
     )
-    staging = os.path.join(table.root, f"_staging-{sid}")
+    # per-writer token, exactly like commit_rewrite: manifests are
+    # create-if-absent, so a crash-retry (or concurrent rebucket) must
+    # never overwrite a prior attempt's promoted files — a stale orphan
+    # manifest must keep referencing its OWN complete file set
+    import uuid as _uuid
+
+    token = _uuid.uuid4().hex[:8]
+    staging = os.path.join(table.root, f"_staging-{sid}-{token}")
     (
         df.select("_bucket", *cols)
         .repartition(new_n_buckets, "_bucket")
@@ -74,7 +81,7 @@ def rebucket(
     for bdir in sorted(glob.glob(os.path.join(staging, "_bucket=*"))):
         b = int(os.path.basename(bdir).split("=")[1])
         for i, p in enumerate(sorted(glob.glob(os.path.join(bdir, "*.parquet")))):
-            rel = f"data/b{b:05d}-{sid}-{i}.parquet"
+            rel = f"data/b{b:05d}-{sid}-{token}-{i}.parquet"
             os.replace(p, os.path.join(table.root, rel))
             rows, ts_min, ts_max = _parquet_stats(os.path.join(table.root, rel))
             new_entries.append(
@@ -214,9 +221,14 @@ def expire_snapshots(
     # head-chain pointers that reference them (NEVER the latest head —
     # it anchors current_snapshot_id). Expired-head GC keeps the
     # manifest-dir listing bounded over the table's lifetime.
+    # every unlink tolerates already-gone files: a CAS-losing writer's
+    # conflict cleanup may delete the same orphans concurrently
+    import contextlib
+
     expired_set = set(expired)
     for sid in expired:
-        os.unlink(os.path.join(table.manifest_dir, f"{sid}.json"))
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(os.path.join(table.manifest_dir, f"{sid}.json"))
     latest = table._latest_head()
     for p in glob.glob(os.path.join(table.manifest_dir, "head-*.json")):
         try:
@@ -228,7 +240,8 @@ def expire_snapshots(
             and latest is not None
             and ptr.get("commit_seq") != latest[0]
         ):
-            os.unlink(p)
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(p)
 
     # phase 2: delete data files referenced by NO surviving manifest
     live_files: set[str] = set()
@@ -245,7 +258,10 @@ def expire_snapshots(
         # grace also protects freshly-promoted files whose writer
         # hasn't written its manifest yet (mid-commit)
         if rel not in live_files and not _in_grace(p):
-            os.unlink(p)
-            deleted += 1
+            try:
+                os.unlink(p)
+                deleted += 1
+            except FileNotFoundError:
+                pass  # a conflict-cleanup deleted it first
 
     return {"expired": sorted(expired), "deleted_files": deleted}

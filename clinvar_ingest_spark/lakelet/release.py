@@ -193,7 +193,15 @@ def expire_releases(
     ]
     stats: dict[str, dict] = {}
     for name in members:
-        t = LakeletTable.load(os.path.join(rs.root, name))
+        try:
+            t = LakeletTable.load(os.path.join(rs.root, name))
+        except FileNotFoundError:
+            # half-created table (a concurrent `create` between its
+            # manifests/ dir and the _current.json write, or a create
+            # that crashed in that window): skip — never let one
+            # stray dir abort the whole retention sweep
+            stats[name] = {"skipped": "table not fully created"}
+            continue
         stats[name] = expire_snapshots(
             t, keep_last=1, also_keep=pinned.get(name, set()),
             in_flight_grace_secs=in_flight_grace_secs,

@@ -235,21 +235,23 @@ class LakeletTable:
     def _manifest_path(self, sid: str) -> str:
         return os.path.join(self.manifest_dir, f"{sid}.json")
 
-    def _write_manifest(self, m: Manifest) -> None:
+    def _write_manifest(self, m: Manifest) -> bool:
         """Create-if-absent: manifests are content-addressed by
         snapshot id, so the FIRST writer of a sid wins the file and a
         same-batch racer must not clobber it (its file list would name
         the racer's data files, which the racer then GCs on losing the
         head CAS). Any existing manifest for a sid is complete —
-        manifests are only written after promotion finishes."""
+        manifests are only written after promotion finishes.
+        Returns True if THIS call created the file."""
         from clinvar_ingest_spark.lakelet.manifest import link_pointer
 
         try:
             link_pointer(
                 self.manifest_dir, f"{m.snapshot_id}.json", m.to_json()
             )
+            return True
         except FileExistsError:
-            pass
+            return False
 
     def _set_current(self, sid: str) -> None:
         atomic_write_json(self._current_path(), {"snapshot_id": sid})
@@ -426,7 +428,7 @@ class LakeletTable:
         seq = int(parent.summary.get("commit_seq", 0)) + 1
         nm.summary = dict(nm.summary)
         nm.summary["commit_seq"] = seq
-        self._write_manifest(nm)
+        wrote_manifest = self._write_manifest(nm)
         try:
             self._link_head(seq, nm.snapshot_id)
         except FileExistsError:
@@ -460,6 +462,20 @@ class LakeletTable:
                 f"commit_seq {seq} was taken by snapshot {winner} "
                 f"(ours: {nm.snapshot_id}, batch {nm.batch_id})"
             )
+        # head CAS won — but if a same-batch racer won the (create-if-
+        # absent) MANIFEST file with its own file list, this writer's
+        # unreferenced staged files are orphans: prune them on the
+        # success path too (skipped in the common case where we wrote
+        # the manifest ourselves — everything staged is referenced)
+        if cleanup_paths and not wrote_manifest:
+            referenced = {f.path for f in self.manifest(nm.snapshot_id).files}
+            for p in cleanup_paths:
+                if p in referenced:
+                    continue
+                try:
+                    os.unlink(os.path.join(self.root, p))
+                except FileNotFoundError:
+                    pass
         self._set_current(nm.snapshot_id)
 
     def commit_rewrite(

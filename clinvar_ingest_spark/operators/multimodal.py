@@ -125,8 +125,8 @@ def _real_decoder():
         import io
 
         def decode(payload: bytes, kind: str) -> list[float]:
-            if kind != "image" or not payload:
-                return [0.0, 0.0, 0.0, 0.0]
+            # callers guarantee kind == "image" and a non-empty payload
+            # (_decode_batch raises for other kinds — no silent zeros)
             img = Image.open(io.BytesIO(payload))
             import numpy as _np
 

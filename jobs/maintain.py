@@ -34,7 +34,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="drop delete tombstones with warc_ts < TS (ISO)")
     p.add_argument("--master", default="submit")
     args = p.parse_args(argv)
-    if not (args.rebucket or args.expire_keep or args.purge_tombstones_before):
+    if not (
+        args.rebucket
+        or args.expire_keep is not None
+        or args.purge_tombstones_before
+    ):
         p.error("pick at least one maintenance operation")
 
     from clinvar_ingest_spark.engine import CdcEngine
@@ -56,7 +60,7 @@ def main(argv: list[str] | None = None) -> int:
         out["purge_snapshot"] = purge_tombstones(
             spark, eng.table, args.purge_tombstones_before
         )
-    if args.expire_keep:
+    if args.expire_keep is not None:
         out["expire"] = expire_snapshots(
             eng.table, keep_last=args.expire_keep,
             in_flight_grace_secs=args.expire_grace,

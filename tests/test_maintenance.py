@@ -85,3 +85,68 @@ def test_expire_snapshots_gc(spark, setup):
         for f in eng.table.manifest(sid).files:
             assert os.path.exists(os.path.join(eng.table.root, f.path))
     assert len(glob.glob(os.path.join(eng.table.data_dir, "*.parquet"))) < n_data_before
+
+
+def test_rebucket_crash_retry_reconverges(spark, tmp_path):
+    """Crash between rebucket's manifest write and head link: the retry
+    must reconverge to the identical committed state, keep every
+    referenced data file on disk, and leave no unreferenced orphans
+    from the retry's own promotion (tokened names + create-if-absent
+    manifests + success-path pruning)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clinvar_ingest_spark.engine import CdcEngine
+    from clinvar_ingest_spark.lakelet.maintenance import rebucket
+    from clinvar_ingest_spark.sources.changelog import (
+        ChangelogSpec,
+        changelog_arrow_schema,
+        generate_changelog,
+    )
+
+    pdf = generate_changelog(ChangelogSpec(n_events=600, n_urls=120, seed=61))
+    p = str(tmp_path / "cl.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(
+            pdf, schema=changelog_arrow_schema(), preserve_index=False
+        ),
+        p,
+    )
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=4)
+    eng.replay(spark.read.parquet(p), batch_size=600)
+    t = eng.table
+    h = eng.state_hash()
+
+    sid = rebucket(spark, t, 8)
+    seq = t.manifest(sid).summary["commit_seq"]
+    # simulate the crash: drop the head link (+ stale cache)
+    os.unlink(t._head_path(seq))
+    os.unlink(t._current_path())
+    assert t.current_snapshot_id() != sid
+
+    sid2 = rebucket(spark, t, 8)
+    assert sid2 == sid
+    assert t.current_snapshot_id() == sid
+    assert eng.state_hash() == h
+    m = t.manifest(sid)
+    referenced = {f.path for f in m.files}
+    for rel in referenced:
+        assert os.path.exists(os.path.join(t.root, rel))
+    # no unreferenced data orphans from the retry's promotion
+    import glob as g
+
+    live = set()
+    for mp in g.glob(os.path.join(t.manifest_dir, "*.json")):
+        n = os.path.basename(mp)
+        if n.startswith(("_", "head-")):
+            continue
+        from clinvar_ingest_spark.lakelet.manifest import Manifest, read_json
+
+        live |= {f.path for f in Manifest.from_json(read_json(mp)).files}
+    on_disk = {
+        os.path.relpath(f, t.root)
+        for f in g.glob(os.path.join(t.data_dir, "*.parquet"))
+    }
+    assert on_disk <= live, f"orphans: {sorted(on_disk - live)[:5]}"
