@@ -59,13 +59,24 @@ class FileNotifySink:
                 os.path.join(self.directory, self.filename), message
             )
             return
-        # sequence mode: max existing seq + 1 (a count would collide
-        # after consumer deletions), created via the link CAS so two
+        # sequence mode: slots are claimed via the link CAS so two
         # concurrent senders can never overwrite each other's record —
-        # the loser retries on the next slot
-        from clinvar_ingest_spark.lakelet.manifest import link_pointer
+        # the loser retries on the next slot. The next number comes
+        # from max(existing, high-water marker): a count would collide
+        # after consumer deletions, and the marker keeps names unique
+        # over time even if consumers delete EVERY record (a reused
+        # filename would give a new record a previously-seen identity).
+        from clinvar_ingest_spark.lakelet.manifest import (
+            atomic_write_json,
+            link_pointer,
+            read_json,
+        )
 
-        mx = 0
+        hwm_path = os.path.join(self.directory, "_notify_hwm.json")
+        try:
+            mx = int(read_json(hwm_path).get("hwm", 0))
+        except (FileNotFoundError, ValueError):
+            mx = 0
         for f in os.listdir(self.directory):
             if f.startswith("notify-") and f.endswith(".json"):
                 try:
@@ -75,6 +86,7 @@ class FileNotifySink:
         for seq in range(mx + 1, mx + 1_000_000):
             try:
                 link_pointer(self.directory, f"notify-{seq:06d}.json", message)
+                atomic_write_json(hwm_path, {"hwm": seq})
                 return
             except FileExistsError:
                 continue

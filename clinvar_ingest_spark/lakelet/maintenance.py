@@ -28,7 +28,6 @@ import os
 from pyspark.sql import SparkSession
 
 from clinvar_ingest_spark.lakelet.manifest import (
-    FileEntry,
     Manifest,
     read_json,
     snapshot_id_for,
@@ -36,7 +35,6 @@ from clinvar_ingest_spark.lakelet.manifest import (
 from clinvar_ingest_spark.lakelet.table import (
     LakeletTable,
     bucket_expr,
-    _parquet_stats,
 )
 
 
@@ -76,21 +74,14 @@ def rebucket(
         .parquet(staging)
     )
 
-    os.makedirs(table.data_dir, exist_ok=True)
-    new_entries: list[FileEntry] = []
-    for bdir in sorted(glob.glob(os.path.join(staging, "_bucket=*"))):
-        b = int(os.path.basename(bdir).split("=")[1])
-        for i, p in enumerate(sorted(glob.glob(os.path.join(bdir, "*.parquet")))):
-            rel = f"data/b{b:05d}-{sid}-{token}-{i}.parquet"
-            os.replace(p, os.path.join(table.root, rel))
-            rows, ts_min, ts_max = _parquet_stats(os.path.join(table.root, rel))
-            new_entries.append(
-                FileEntry(
-                    path=rel, bucket=b, rows=rows,
-                    schema_version=m.schema_version,
-                    ts_min=ts_min, ts_max=ts_max,
-                )
-            )
+    # shared promotion protocol (tokened names, footer stats) — see
+    # table.promote_staged_files; a second copy of this sequence is how
+    # rebucket's crash-retry overwrite bug happened
+    from clinvar_ingest_spark.lakelet.table import promote_staged_files
+
+    new_entries = promote_staged_files(
+        table.root, staging, sid, token, m.schema_version
+    )
     import shutil
 
     shutil.rmtree(staging, ignore_errors=True)

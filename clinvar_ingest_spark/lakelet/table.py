@@ -413,6 +413,22 @@ class LakeletTable:
             m.snapshot_id, batch_id, schema_version or m.schema_version
         )
 
+    def _prune_unreferenced(
+        self, sid: str, cleanup_paths: Sequence[str] | None
+    ) -> None:
+        """Delete this writer's staged files that the COMMITTED manifest
+        for ``sid`` does not reference (same-batch-race orphans)."""
+        if not cleanup_paths:
+            return
+        referenced = {f.path for f in self.manifest(sid).files}
+        for p in cleanup_paths:
+            if p in referenced:
+                continue
+            try:
+                os.unlink(os.path.join(self.root, p))
+            except FileNotFoundError:
+                pass
+
     def _commit_manifest(
         self,
         nm: Manifest,
@@ -439,14 +455,7 @@ class LakeletTable:
                 # absent) manifest file; delete only this writer's
                 # staged files that the committed manifest does NOT
                 # reference — they're unreachable orphans
-                referenced = {f.path for f in self.manifest(nm.snapshot_id).files}
-                for p in cleanup_paths or ():
-                    if p in referenced:
-                        continue
-                    try:
-                        os.unlink(os.path.join(self.root, p))
-                    except FileNotFoundError:
-                        pass
+                self._prune_unreferenced(nm.snapshot_id, cleanup_paths)
                 self._set_current(nm.snapshot_id)
                 return
             try:
@@ -467,15 +476,8 @@ class LakeletTable:
         # unreferenced staged files are orphans: prune them on the
         # success path too (skipped in the common case where we wrote
         # the manifest ourselves — everything staged is referenced)
-        if cleanup_paths and not wrote_manifest:
-            referenced = {f.path for f in self.manifest(nm.snapshot_id).files}
-            for p in cleanup_paths:
-                if p in referenced:
-                    continue
-                try:
-                    os.unlink(os.path.join(self.root, p))
-                except FileNotFoundError:
-                    pass
+        if not wrote_manifest:
+            self._prune_unreferenced(nm.snapshot_id, cleanup_paths)
         self._set_current(nm.snapshot_id)
 
     def commit_rewrite(
@@ -549,34 +551,9 @@ class LakeletTable:
         )
 
         t_write_done = _time.time()
-        os.makedirs(self.data_dir, exist_ok=True)
-        promotions: list[tuple[str, str, int]] = []  # (src, rel, bucket)
-        for bdir in sorted(glob.glob(os.path.join(staging, "_bucket=*"))):
-            b = int(os.path.basename(bdir).split("=")[1])
-            parts = sorted(glob.glob(os.path.join(bdir, "*.parquet")))
-            for i, p in enumerate(parts):
-                promotions.append(
-                    (p, f"data/b{b:05d}-{sid}-{token}-{i}.parquet", b)
-                )
-
-        def promote(job: tuple[str, str, int]) -> FileEntry:
-            src, rel, b = job
-            dst = os.path.join(self.root, rel)
-            os.replace(src, dst)
-            rows, ts_min, ts_max = _parquet_stats(dst)
-            return FileEntry(
-                path=rel, bucket=b, rows=rows,
-                schema_version=m.schema_version,
-                ts_min=ts_min, ts_max=ts_max,
-            )
-
-        from concurrent.futures import ThreadPoolExecutor
-
-        if len(promotions) > 8:
-            with ThreadPoolExecutor(max_workers=8) as ex:
-                new_entries = list(ex.map(promote, promotions))
-        else:
-            new_entries = [promote(j) for j in promotions]
+        new_entries = promote_staged_files(
+            self.root, staging, sid, token, m.schema_version
+        )
         _rmtree(staging)
 
         if stats_out is not None:
@@ -720,6 +697,48 @@ class LakeletTable:
             return cols
 
         return self._evolve(batch_id or f"addfield:{column}.{field_name}", mutate)
+
+
+def promote_staged_files(
+    table_root: str,
+    staging: str,
+    sid: str,
+    token: str,
+    schema_version: int,
+) -> list[FileEntry]:
+    """THE promotion protocol (shared by commit_rewrite and rebucket —
+    a second copy is how the missing-token crash-retry bug happened):
+    move every staged ``_bucket=*`` part into ``data/`` under a
+    sid+per-writer-token name (so no retry or racer can ever overwrite
+    a previously promoted file), read footer stats, and return the
+    FileEntry list for the manifest. Parallelized past 8 files."""
+    data_dir = os.path.join(table_root, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    promotions: list[tuple[str, str, int]] = []  # (src, rel, bucket)
+    for bdir in sorted(glob.glob(os.path.join(staging, "_bucket=*"))):
+        b = int(os.path.basename(bdir).split("=")[1])
+        for i, p in enumerate(sorted(glob.glob(os.path.join(bdir, "*.parquet")))):
+            promotions.append(
+                (p, f"data/b{b:05d}-{sid}-{token}-{i}.parquet", b)
+            )
+
+    def promote(job: tuple[str, str, int]) -> FileEntry:
+        src, rel, b = job
+        dst = os.path.join(table_root, rel)
+        os.replace(src, dst)
+        rows, ts_min, ts_max = _parquet_stats(dst)
+        return FileEntry(
+            path=rel, bucket=b, rows=rows,
+            schema_version=schema_version,
+            ts_min=ts_min, ts_max=ts_max,
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(promotions) > 8:
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            return list(ex.map(promote, promotions))
+    return [promote(j) for j in promotions]
 
 
 def _max_col_id(cols: Sequence[ColumnSpec]) -> int:

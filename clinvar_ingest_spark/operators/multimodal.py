@@ -124,7 +124,7 @@ def _real_decoder():
 
         import io
 
-        def decode(payload: bytes, kind: str) -> list[float]:
+        def decode(payload: bytes) -> list[float]:
             # callers guarantee kind == "image" and a non-empty payload
             # (_decode_batch raises for other kinds — no silent zeros)
             img = Image.open(io.BytesIO(payload))
@@ -166,7 +166,7 @@ def _decode_batch(payloads: pd.Series, kinds: pd.Series, fake: bool) -> list[lis
             if feat is not None:
                 out.append(feat)
             elif pil is not None:
-                out.append(pil(bytes(b), k))
+                out.append(pil(bytes(b)))
             else:
                 raise NotImplementedError(
                     "payload is neither PPM(P6) nor 24-bit BMP and PIL is "

@@ -170,3 +170,19 @@ def test_file_notify_sequence_survives_consumer_deletions(tmp_path):
     assert names == ["notify-000003.json", "notify-000004.json"]
     assert json.load(open(os.path.join(d, "notify-000003.json"))) == {"i": 3}
     assert json.load(open(os.path.join(d, "notify-000004.json"))) == {"i": 4}
+
+
+def test_file_notify_names_never_reused_after_full_deletion(tmp_path):
+    """Even if consumers delete EVERY record, the high-water marker
+    keeps notify filenames unique over time — a new record can never
+    assume a previously-seen identity."""
+    d = str(tmp_path / "n3")
+    s = FileNotifySink(d, filename=None)
+    s.send({"i": 1})
+    s.send({"i": 2})
+    os.unlink(os.path.join(d, "notify-000001.json"))
+    os.unlink(os.path.join(d, "notify-000002.json"))
+    s.send({"i": 3})
+    names = sorted(f for f in os.listdir(d) if f.startswith("notify-"))
+    assert names == ["notify-000003.json"]
+    assert json.load(open(os.path.join(d, names[0]))) == {"i": 3}
