@@ -125,3 +125,80 @@ def test_probe_masks():
     assert _probe_masks(4, 0) == [0]
     assert sorted(_probe_masks(4, 1)) == [0, 1, 2, 4, 8]
     assert len(_probe_masks(8, 2)) == 1 + 8 + 28
+
+
+def test_ivf_assign_matches_numpy(emb):
+    """Cell assignment is exactly argmax-cosine over the deterministic
+    centroid set (ties to smallest centroid idx)."""
+    df, vecs = emb
+    cents = similarity.ivf_centroids(df, nlist=8)
+    got = {
+        r["vec_id"]: r["ivf_cell"]
+        for r in similarity.ivf_assign(df, cents).collect()
+    }
+    cvecs = np.array([c for _, _, c in cents])
+    cnorm = cvecs / np.linalg.norm(cvecs, axis=1, keepdims=True)
+    vnorm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    want = (vnorm @ cnorm.T).argmax(axis=1)
+    assert got == {i: int(want[i]) for i in range(len(vecs))}
+
+
+def test_ivf_centroids_deterministic(emb):
+    df, _ = emb
+    a = similarity.ivf_centroids(df, nlist=8)
+    b = similarity.ivf_centroids(df, nlist=8)
+    assert a == b
+    assert [i for i, _, _ in a] == list(range(8))
+
+
+def test_ivf_full_probe_equals_bruteforce(emb):
+    """nprobe == nlist probes every cell — the IVF plan degenerates to
+    an exact scan and must reproduce brute force bit-for-bit."""
+    df, _ = emb
+    queries = df.filter(F.col("vec_id") < 5)
+    cents = similarity.ivf_centroids(df, nlist=8)
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.cosine_topk_bruteforce(df, queries, k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.ivf_topk(df, queries, cents, k=5, nprobe=8).collect()
+    }
+    assert ivf == exact
+
+
+def test_ivf_partial_probe_recall(emb):
+    """nprobe=4 of nlist=8 scans ~half the corpus; recall@5 vs brute
+    force must beat the random-scan floor by a wide margin."""
+    df, _ = emb
+    queries = df.filter(F.col("vec_id") < 20)
+    cents = similarity.ivf_centroids(df, nlist=8)
+    ex = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk_bruteforce(df, queries, k=5).collect()
+    }
+    ap_rows = similarity.ivf_topk(df, queries, cents, k=5, nprobe=4).collect()
+    ap = {(r["query_id"], r["neighbor_id"]) for r in ap_rows}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.6, recall
+    # candidate restriction really happened: every neighbor shares one
+    # of the query's probed cells (≤ k result rows per query is implied)
+    assert all(r["rank"] <= 5 for r in ap_rows)
+
+
+def test_ivf_refine_improves_quantization(emb):
+    """Two Lloyd rounds can't worsen mean assignment cosine (k-means
+    objective is monotone under assign→mean), and keep nlist cells."""
+    df, vecs = emb
+
+    def mean_assign_cos(cents):
+        cvecs = np.array([c for _, _, c in cents])
+        cnorm = cvecs / np.linalg.norm(cvecs, axis=1, keepdims=True)
+        vnorm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        return float((vnorm @ cnorm.T).max(axis=1).mean())
+
+    cents = similarity.ivf_centroids(df, nlist=8)
+    refined = similarity.ivf_refine(df, cents, iters=2)
+    assert len(refined) == 8
+    assert mean_assign_cos(refined) >= mean_assign_cos(cents) - 1e-9
