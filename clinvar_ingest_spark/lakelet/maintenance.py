@@ -13,6 +13,11 @@ diff.py:41-56):
   across the boundary works because every manifest pins its own
   n_buckets (readers and pruners consult the snapshot's value, never a
   global).
+- :func:`sort_rewrite` — physically re-order rows inside each bucket
+  (lexicographic or Z-order) so parquet row-group/page stats become
+  tight on the sort columns: the periodic clustering pass
+  (Iceberg rewrite_data_files sort/zorder; BigQuery clustered tables,
+  which the reference's schema/*.table.json rely on).
 - :func:`expire_snapshots` — drop manifests beyond the retention cut,
   then delete data files referenced only by expired snapshots.
   Two-phase and crash-safe: manifests go first (atomic per-file), then
@@ -26,6 +31,7 @@ import glob
 import os
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from clinvar_ingest_spark.lakelet.manifest import (
     Manifest,
@@ -87,6 +93,7 @@ def rebucket(
     shutil.rmtree(staging, ignore_errors=True)
 
     summary = dict(m.summary)
+    summary.pop("sort_order", None)  # bucket reshuffle loses clustering
     summary["total_rows"] = sum(f.rows for f in new_entries)
     nm = Manifest(
         snapshot_id=sid,
@@ -100,6 +107,74 @@ def rebucket(
     )
     table._commit_manifest(nm, m, cleanup_paths=[f.path for f in new_entries])
     return sid
+
+
+def sort_rewrite(
+    spark: SparkSession,
+    table: LakeletTable,
+    by: list[str],
+    zorder: bool = False,
+    bits: int = 16,
+) -> str:
+    """Rewrite every bucket with rows physically ordered by ``by`` —
+    plain lexicographic sort, or a Morton/Z-order interleave key over
+    the columns when ``zorder=True`` (multi-dimension clustering; see
+    :mod:`clinvar_ingest_spark.functions.zorder`). A logically-empty
+    commit: live state, schema, and bucket layout are unchanged; only
+    the physical row order inside each bucket file changes, which
+    tightens parquet row-group/page statistics on the sort columns so
+    scans with range predicates skip most of each file, and typically
+    shrinks the files (sorted columns RLE/dict-encode better).
+
+    At 100 TB this is the periodic clustering pass every warehouse
+    format schedules (Iceberg rewrite_data_files sort/zorder, BigQuery
+    clustered tables — the reference's schema/*.table.json lean on the
+    latter). The sort itself is per-bucket (``sortWithinPartitions``
+    after the bucket shuffle) — no global sort, no driver involvement,
+    cost is one shuffle + ordered write of the touched bytes.
+
+    Deterministic snapshot id ⇒ idempotent; crash-retry safe like every
+    commit (tokened staging + CAS head). Returns the new snapshot id.
+    """
+    m = table.manifest()
+    spec = f"{'z' if zorder and len(by) > 1 else 'lex'}:{','.join(by)}" + (
+        f":bits={bits}" if zorder and len(by) > 1 else ""
+    )
+    # the manifest summary carries the layout claim (Iceberg's "table
+    # sort order"); data commits CLEAR it (commit_rewrite/rebucket), so
+    # a matching claim means the current files are already in this
+    # order and the rewrite is a no-op — this is what makes repeated
+    # maintenance runs idempotent
+    if m.summary.get("sort_order") == spec:
+        return m.snapshot_id
+    batch_id = f"sort_rewrite:{spec}:{m.snapshot_id}"
+    sid = snapshot_id_for(m.snapshot_id, batch_id, m.schema_version)
+    if table._is_committed_child(sid, m):
+        return sid
+
+    df = table.read(spark).withColumn(
+        "_bucket", bucket_expr(table.key_col, m.n_buckets)
+    )
+    if zorder and len(by) > 1:
+        from clinvar_ingest_spark.functions.zorder import zorder_key
+
+        sort_cols = [zorder_key(df, by, bits=bits)]
+    else:
+        sort_cols = [F.col(c) for c in by]
+
+    ordered = (
+        df.repartition(m.n_buckets, "_bucket")
+        .sortWithinPartitions(F.col("_bucket"), *sort_cols)
+    )
+    return table.commit_rewrite(
+        spark,
+        ordered,
+        touched_buckets=[f.bucket for f in m.files],
+        batch_id=batch_id,
+        summary={"sort_order": spec},
+        pre_partitioned=True,
+        expected_parent_id=m.snapshot_id,
+    )
 
 
 def purge_tombstones(

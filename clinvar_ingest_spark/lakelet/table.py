@@ -573,6 +573,10 @@ class LakeletTable:
         files = kept + new_entries
         new_summary = dict(m.summary)
         new_summary.update(summary or {})
+        # a data rewrite invalidates any clustered-layout claim unless
+        # the caller re-asserts it (sort_rewrite does; merges don't)
+        if "sort_order" not in (summary or {}):
+            new_summary.pop("sort_order", None)
         new_summary["total_rows"] = sum(f.rows for f in files)
         nm = Manifest(
             snapshot_id=sid,

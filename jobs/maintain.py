@@ -12,6 +12,7 @@ Usage:
         --table /lake/pages --rebucket 512
     ... --table /lake/pages --expire-keep 5
     ... --table /lake/pages --purge-tombstones-before '2024-06-01 00:00:00'
+    ... --table /lake/pages --sort-by warc_ts,_seq --zorder
 """
 
 from __future__ import annotations
@@ -32,12 +33,19 @@ def main(argv: list[str] | None = None) -> int:
                         "alone (in-flight multi-writer protection)")
     p.add_argument("--purge-tombstones-before", metavar="TS",
                    help="drop delete tombstones with warc_ts < TS (ISO)")
+    p.add_argument("--sort-by", metavar="COLS",
+                   help="comma-separated columns: cluster each bucket's "
+                        "rows in this order (tight row-group stats)")
+    p.add_argument("--zorder", action="store_true",
+                   help="with --sort-by: Morton-interleave the columns "
+                        "instead of lexicographic order")
     p.add_argument("--master", default="submit")
     args = p.parse_args(argv)
     if not (
         args.rebucket
         or args.expire_keep is not None
         or args.purge_tombstones_before
+        or args.sort_by
     ):
         p.error("pick at least one maintenance operation")
 
@@ -46,6 +54,7 @@ def main(argv: list[str] | None = None) -> int:
         expire_snapshots,
         purge_tombstones,
         rebucket,
+        sort_rewrite,
     )
     from clinvar_ingest_spark.session import get_spark
 
@@ -59,6 +68,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.purge_tombstones_before:
         out["purge_snapshot"] = purge_tombstones(
             spark, eng.table, args.purge_tombstones_before
+        )
+    if args.sort_by:
+        out["sort_snapshot"] = sort_rewrite(
+            spark, eng.table, by=args.sort_by.split(","), zorder=args.zorder
         )
     if args.expire_keep is not None:
         out["expire"] = expire_snapshots(
