@@ -418,6 +418,65 @@ def _ensure_cdc_fixture() -> str:
     return path
 
 
+def q_stream_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 executed as a REAL Structured Streaming job (not a batch
+    stand-in): file-source tail of the changelog fixture → watermarked
+    (2 h) 1-hour windowed per-host rollup → append-mode parquet sink,
+    `availableNow` trigger. Append mode emits exactly the windows the
+    final watermark closed (`window_end <= max(warc_ts) - 2 h`; the
+    no-data final micro-batch flushes them) — a batch-SQL-mirrorable
+    contract, so the oracle recomputes the same rollup + emission rule
+    in DuckDB. Reference parallel: per-release aggregate gates
+    (count-processing-history-rows.sh) with LWW lateness absorption
+    (ArchiveBranches.scala:140-156)."""
+    import shutil
+    import tempfile
+
+    from clinvar_ingest_spark.streaming.metrics import stream_host_window_counts
+
+    clp = _ensure_cdc_fixture()
+    tmp = tempfile.mkdtemp(prefix="stream_rollup_")
+    seg_dir = os.path.join(tmp, "segs")
+    os.makedirs(seg_dir)
+    shutil.copy(clp, os.path.join(seg_dir, "seg-00.parquet"))
+    out = os.path.join(tmp, "out")
+    q = stream_host_window_counts(
+        spark,
+        seg_dir,
+        os.path.join(tmp, "ckpt"),
+        out,
+        window="1 hour",
+        watermark="2 hours",
+    )
+    q.awaitTermination(600)
+    if q.isActive:  # pragma: no cover — availableNow terminates itself
+        q.stop()
+    return spark.read.parquet(out)
+
+
+def _stream_window_rollup_sql() -> str:
+    return f"""
+WITH cl AS (
+  SELECT op, warc_ts,
+         regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+         time_bucket(INTERVAL '1 hour', warc_ts) AS window_start
+  FROM read_parquet('{_ensure_cdc_fixture()}')
+),
+mx AS (SELECT max(warc_ts) AS m FROM cl)
+SELECT window_start,
+       window_start + INTERVAL '1 hour' AS window_end,
+       host,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN op = 'insert' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserts,
+       CAST(sum(CASE WHEN op = 'update' THEN 1 ELSE 0 END) AS BIGINT) AS n_updates,
+       CAST(sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
+FROM cl
+GROUP BY window_start, host
+HAVING window_start + INTERVAL '1 hour'
+         <= (SELECT m FROM mx) - INTERVAL '2 hours'
+"""
+
+
 def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data composition (round 3): near-dup dedup →
     one keeper per cluster → token-count quality gate → per-language
@@ -602,6 +661,23 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries = emb.filter(F.col("vec_id") < 10)
     return lsh_bucket_topk(emb, queries, dim=64, k=5, bits=4).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (the second scale path next to SRP-LSH): deterministic
+    md5-sampled coarse centroids -> map-side cell assignment -> probe
+    the nprobe best cells per query. The oracle mirrors the exact same
+    centroid selection and argmax assignment in DuckDB."""
+    from clinvar_ingest_spark.operators.similarity import ivf_centroids, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    cents = ivf_centroids(emb, nlist=16)
+    return ivf_topk(emb, queries, cents, k=5, nprobe=4).select(
         "query_id", "neighbor_id", "rank"
     )
 
@@ -800,6 +876,33 @@ def q_release_cut_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sorted_rewrite_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance-op parity: replay the fixture, then run the Z-order
+    sorted rewrite (clustering on (warc_ts, _seq)) and return the live
+    state — which must equal the PLAIN replay oracle bit-for-bit (the
+    rewrite is a logically-empty commit; only physical row order inside
+    each bucket file changes). Physical-order + row-group-stats
+    evidence lives in tests/test_sort_rewrite.py."""
+    import tempfile
+
+    from clinvar_ingest_spark.engine import CdcEngine
+    from clinvar_ingest_spark.lakelet.maintenance import sort_rewrite
+
+    clp = _ensure_cdc_fixture()
+    tmp = tempfile.mkdtemp(prefix="cdc_sorted_")
+    eng = CdcEngine(spark, os.path.join(tmp, "pages"), n_buckets=8)
+    eng.replay(spark.read.parquet(clp), batch_size=500)
+    sort_rewrite(spark, eng.table, by=["warc_ts", "_seq"], zorder=True)
+    return eng.live().select(
+        "url",
+        "warc_ts",
+        "lang",
+        "props",
+        F.sha2(F.col("html"), 256).alias("html_sha"),
+        F.col("_seq").alias("last_seq"),
+    )
+
+
 def q_cdc_replay_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full engine path on the deterministic fixture changelog: replay →
     tombstoned LWW snapshot table → final live state. Oracle-checked:
@@ -869,6 +972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_near_pairs": q_simhash_near_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "ann_multiprobe_check": q_ann_multiprobe_check,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "dedup_clusters": q_dedup_clusters,
@@ -878,11 +982,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_pages": q_cdc_replay_pages,
         "array_struct_replay": q_array_struct_replay,
         "release_cut_join": q_release_cut_join,
+        "stream_window_rollup": q_stream_window_rollup,
+        "sorted_rewrite_replay": q_sorted_rewrite_replay,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "lww_latest_event": """
             SELECT user_id,
                    event_id AS last_event_id,
@@ -1160,6 +1266,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _minhash_lsh_sql(num_hashes=32, bands=16),
         "simhash_near_pairs": _simhash_pairs_sql(max_hamming=8),
         "ann_lsh_topk": _ann_lsh_topk_sql(dim=64, k=5, bits=4),
+        "ann_ivf_topk": _ann_ivf_topk_sql(nlist=16, nprobe=4, k=5),
+        "stream_window_rollup": _stream_window_rollup_sql(),
         "ann_multiprobe_check": _ann_multiprobe_check_sql(dim=16, bits=8),
         "embedding_dup_pairs": _embedding_dup_sql(dim=64, threshold=0.3, bits=6),
         "cdc_replay_pages": f"""
@@ -1181,6 +1289,10 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn = 1 AND op <> 'delete'
         """,
     }
+    # the sorted (Z-order) rewrite is a logically-empty commit: the live
+    # state the query returns must equal the PLAIN replay oracle exactly
+    out["sorted_rewrite_replay"] = out["cdc_replay_pages"]
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -1482,6 +1594,54 @@ SELECT query_id, neighbor_id,
 FROM c JOIN q USING (bucket)
 WHERE neighbor_id <> query_id
 QUALIFY rank <= {k}
+"""
+
+
+def _ann_ivf_topk_sql(nlist: int, nprobe: int, k: int) -> str:
+    """DuckDB mirror of the IVF path: identical deterministic centroid
+    sample (smallest md5-48 of the id, ties by id), identical
+    argmax-cosine assignment (ties to smallest centroid idx), identical
+    nprobe probe set, identical final ranking."""
+    return f"""
+WITH s AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+cent AS (
+  SELECT row_number() OVER (ORDER BY h ASC, vec_id ASC) - 1 AS cidx, e AS ce
+  FROM (
+    SELECT vec_id, e,
+           ('0x' || substr(md5(vec_id::VARCHAR), 1, 12))::BIGINT AS h
+    FROM s
+  )
+  QUALIFY row_number() OVER (ORDER BY h ASC, vec_id ASC) <= {nlist}
+),
+assigned AS (
+  SELECT vec_id, e, cidx AS cell FROM (
+    SELECT s.vec_id, s.e, c.cidx,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY list_cosine_similarity(s.e, c.ce) DESC,
+                                       c.cidx ASC) AS rn
+    FROM s CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, e AS qe, cidx AS cell FROM (
+    SELECT s.vec_id, s.e, c.cidx,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY list_cosine_similarity(s.e, c.ce) DESC,
+                                       c.cidx ASC) AS rn
+    FROM s CROSS JOIN cent c
+    WHERE s.vec_id < 10
+  ) WHERE rn <= {nprobe}
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY list_cosine_similarity(a.e, q.qe) DESC,
+                                     a.vec_id ASC) AS rank
+  FROM assigned a JOIN q ON a.cell = q.cell
+  WHERE a.vec_id <> q.query_id
+) WHERE rank <= {k}
 """
 
 

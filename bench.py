@@ -43,6 +43,7 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "simhash_near_pairs",
     "ann_topk",
+    "ann_ivf_topk",
     "multimodal_meta",
     "dedup_clusters",
     "fanout_entities",
