@@ -263,6 +263,76 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (dates adapted to the generator's 1995-2001
+    window; o_orderpriority stands in for the generator's missing
+    o_shippriority): selective dim filter broadcast into a two-fact
+    join, then a top-10 with a deterministic tiebreak."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        li.filter(F.col("l_shipdate") > F.lit("1998-01-01"))
+        .join(
+            orders.filter(F.col("o_orderdate") < F.lit("1998-01-01")),
+            li["l_orderkey"] == orders["o_orderkey"],
+        )
+        .join(
+            F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+            orders["o_custkey"] == cust["c_custkey"],
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
+            ).alias("revenue_e4")
+        )
+        .orderBy(F.col("revenue_e4").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select("l_orderkey", "revenue_e4", "o_orderdate", "o_orderpriority")
+    )
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join (region→nation→supplier/customer →
+    facts) with the local-supplier equi-constraint
+    (c_nationkey = s_nationkey) and a one-year date window. All four
+    dims broadcast; only the fact-fact join shuffles."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01"))
+            ),
+            li["l_orderkey"] == orders["o_orderkey"],
+        )
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(
+            F.broadcast(cust),
+            (orders["o_custkey"] == cust["c_custkey"])
+            & (cust["c_nationkey"] == supp["s_nationkey"]),
+        )
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            nation["n_regionkey"] == region["r_regionkey"],
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
+            ).alias("revenue_e4"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-way fact-dim join; dims are broadcast (small side)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -301,6 +371,31 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_columns(docs).select(
         "doc_id", "n_chars_m", "n_tokens", "n_distinct_tokens", "n_punct"
     )
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style within-document repetition signals as exact
+    integers (top-token occurrences, total vs distinct trigrams);
+    downstream quality gates divide for the published-recipe ratios."""
+    from clinvar_ingest_spark.functions.text import repetition_columns
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_columns(docs).select(
+        "doc_id", "top_token_count", "n_trigrams", "n_distinct_trigrams"
+    )
+
+
+def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: every 20th document plays the
+    benchmark corpus; the rest are scored for 3-gram overlap against
+    it (broadcast benchmark shingle set — the corpus is never
+    shuffled). The filtering form is decontam.decontaminate."""
+    from clinvar_ingest_spark.operators.decontam import ngram_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    cands = docs.filter(F.col("doc_id") % 20 != 0)
+    return ngram_overlap(cands, bench, n=3)
 
 
 def q_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -952,6 +1047,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "tpch_q1": q_tpch_q1,
         "tpch_q6": q_tpch_q6,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
         "order_revenue": q_order_revenue,
         "revenue_by_nation": q_revenue_by_nation,
         "dedup_exact": q_dedup_exact,
@@ -960,6 +1057,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "token_stats": q_token_stats,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "repetition_stats": q_repetition_stats,
+        "decontam_overlap": q_decontam_overlap,
         "ann_topk": q_ann_topk,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
@@ -1081,6 +1180,39 @@ def oracle_sql() -> dict[str, str]:
               AND l_discount BETWEEN 0.05 AND 0.07
               AND l_quantity < 24
         """,
+        "tpch_q3": """
+            SELECT l_orderkey, revenue_e4, o_orderdate, o_orderpriority
+            FROM (
+              SELECT l_orderkey, o_orderdate, o_orderpriority,
+                     CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT)
+                       AS revenue_e4
+              FROM lineitem
+              JOIN orders   ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              WHERE l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+                AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                AND c_mktsegment = 'BUILDING'
+              GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            )
+            ORDER BY revenue_e4 DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "tpch_q5": """
+            SELECT n_name,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT)
+                     AS revenue_e4,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY n_name
+        """,
         "revenue_by_nation": """
             SELECT n_name,
                    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT)
@@ -1130,6 +1262,58 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
                      AS n_bpe_tokens
             FROM documents
+        """,
+        "repetition_stats": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                          ELSE string_split_regex(trim(text), '\s+') END AS toks
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN len(toks) = 0 THEN 0
+                        ELSE list_max(list_transform(list_distinct(toks),
+                               d -> len(list_filter(toks, x -> x = d)))) END
+                     AS top_token_count,
+                   greatest(len(toks) - 2, 0) AS n_trigrams,
+                   CASE WHEN len(toks) < 3 THEN 0
+                        ELSE len(list_distinct(list_transform(
+                               range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+                        END AS n_distinct_trigrams
+            FROM t
+        """,
+        "decontam_overlap": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+                          ELSE list_distinct(list_transform(
+                                 range(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS g
+              FROM toks
+            ),
+            bench AS (
+              SELECT DISTINCT sh FROM (
+                SELECT unnest(g) AS sh FROM grams WHERE doc_id % 20 = 0
+              )
+            ),
+            doc_sh AS (
+              SELECT doc_id, unnest(g) AS sh FROM grams WHERE doc_id % 20 <> 0
+            ),
+            hits AS (
+              SELECT doc_id, count(*) AS n_overlap_grams
+              FROM doc_sh JOIN bench USING (sh)
+              GROUP BY doc_id
+            )
+            SELECT c.doc_id,
+                   COALESCE(h.n_overlap_grams, 0) AS n_overlap_grams,
+                   COALESCE(h.n_overlap_grams, 0) > 0 AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) c
+            LEFT JOIN hits h USING (doc_id)
         """,
         "ngram_jaccard_pairs": r"""
             WITH g AS (

@@ -34,12 +34,16 @@ HEADLINE = [
     "set_union_event_types",
     "events_hourly",
     "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
     "order_revenue",
     "dedup_exact",
     "text_quality",
     "lang_id",
     "fingerprint_docs",
     "ngram_jaccard_pairs",
+    "decontam_overlap",
+    "repetition_stats",
     "minhash_lsh_pairs",
     "simhash_near_pairs",
     "ann_topk",

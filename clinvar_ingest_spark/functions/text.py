@@ -61,6 +61,56 @@ def punct_count(col: Column) -> Column:
     return F.length(col) - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
 
 
+def top_token_count(col: Column) -> Column:
+    """Occurrences of the document's most frequent token — the
+    numerator of the Gopher-style "top word fraction" repetition
+    filter. O(distinct × tokens) JVM array ops per row (no shuffle,
+    no Python); fine for web-page-sized documents."""
+    t = tokens(col)
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(
+        F.array_max(
+            F.transform(
+                F.array_distinct(t),
+                lambda d: F.size(F.filter(t, lambda x: x == d)),
+            )
+        )
+    )
+
+
+def trigram_count(col: Column) -> Column:
+    """Total word trigrams (= max(n_tokens - 2, 0))."""
+    return F.greatest(token_count(col) - 2, F.lit(0))
+
+
+def distinct_trigram_count(col: Column) -> Column:
+    """Distinct word trigrams — with :func:`trigram_count` this gives
+    the duplicate-trigram fraction (Gopher/C4-style within-document
+    repetition signal), left as exact integers per the module rule."""
+    t = tokens(col)
+    grams = F.when(F.size(t) < 3, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - 3),
+            lambda i: F.concat_ws(" ", F.slice(t, i + 1, 3)),
+        )
+    )
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(
+        F.size(F.array_distinct(grams))
+    )
+
+
+def repetition_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append within-document repetition signals (exact integers):
+    ``top_token_count``, ``n_trigrams``, ``n_distinct_trigrams``.
+    Downstream gates divide by ``n_tokens``/``n_trigrams`` for the
+    published-recipe ratios."""
+    c = F.col(text_col)
+    return (
+        df.withColumn("top_token_count", top_token_count(c))
+        .withColumn("n_trigrams", trigram_count(c))
+        .withColumn("n_distinct_trigrams", distinct_trigram_count(c))
+    )
+
+
 def quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append quality-signal columns (all integers → exact cross-engine
     comparison; ratios are left to the consumer to avoid float drift).

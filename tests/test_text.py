@@ -74,3 +74,23 @@ def test_rolling_fingerprints(spark):
     assert out[0] == out[1]
     assert len(out[0]) == 3  # 10 tokens, window 8 → 3 windows
     assert out[2] == []
+
+
+def test_repetition_columns(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "a b a b a b"),          # 'a'×3; trigrams: aba, bab, aba, bab → 2 distinct of 4
+            (1, "one two three four"),   # all unique; 2 trigrams, both distinct
+            (2, "xx"),                   # 1 token → 0 trigrams
+            (3, ""),                     # empty → all zero
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["top_token_count"], r["n_trigrams"], r["n_distinct_trigrams"])
+        for r in tx.repetition_columns(df).collect()
+    }
+    assert out[0] == (3, 4, 2)
+    assert out[1] == (1, 2, 2)
+    assert out[2] == (1, 0, 0)
+    assert out[3] == (0, 0, 0)
