@@ -398,6 +398,59 @@ def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_overlap(cands, bench, n=3)
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit. The synthetic corpus is clean, so the query
+    plants deterministic PII (an email every 7th doc, an IPv4 every
+    11th) from doc_id arithmetic — both engines derive the identical
+    dirty text — then counts matches per pattern and md5's the
+    redacted output, proving byte-identical regexp_replace chains."""
+    from clinvar_ingest_spark.functions.redact import pii_columns
+
+    docs = _t(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".7 today"),
+                ),
+            )
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_columns(dirty).select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_longnum",
+        F.md5("text_redacted").alias("redacted_md5"),
+    )
+
+
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gate over the documents table: per-gate
+    booleans + combined keep, all integer cross-multiplication (no
+    float ratios) so the oracle agrees exactly."""
+    from clinvar_ingest_spark.operators.quality_gate import quality_gate
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_gate(docs).select(
+        "doc_id", "g_len", "g_top_token", "g_dup_trigram", "g_stopword", "keep"
+    )
+
+
 def q_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", F.md5("text").alias("fp_md5"))
@@ -573,14 +626,18 @@ HAVING window_start + INTERVAL '1 hour'
 
 
 def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end training-data composition (round 3): near-dup dedup →
-    one keeper per cluster → token-count quality gate → per-language
-    corpus stats. The whole suite composed as one declarative plan —
-    what a 100 TB pipeline actually runs between crawl and tokenizer —
-    mirrored by a single DuckDB oracle (recursive-CTE clustering +
-    the same gate)."""
+    """End-to-end training-data composition: near-dup dedup → one
+    keeper per cluster → 8-gram decontamination against a benchmark
+    slice (every 20th doc; the GPT-3/PaLM-recipe step) → the full
+    Gopher-style quality gate → per-language corpus stats. The whole
+    suite composed as one declarative plan — what a 100 TB pipeline
+    actually runs between crawl and tokenizer — mirrored by a single
+    DuckDB oracle (recursive-CTE clustering + gram CTEs + the same
+    integer gate)."""
     from clinvar_ingest_spark.functions.text import token_count
+    from clinvar_ingest_spark.operators.decontam import decontaminate
     from clinvar_ingest_spark.operators.dedupe import dedup_cluster_assignment
+    from clinvar_ingest_spark.operators.quality_gate import quality_filter
 
     docs = _t(spark, sf_dir, "documents")
     keepers = (
@@ -588,11 +645,12 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("is_keeper")
         .select("doc_id")
     )
-    kept = docs.join(keepers, "doc_id").withColumn(
-        "n_tok", token_count(F.col("text"))
-    )
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    kept = docs.join(keepers, "doc_id").filter(F.col("doc_id") % 20 != 0)
+    clean = decontaminate(kept, bench, n=8)
+    gated = quality_filter(clean)
     return (
-        kept.filter(F.col("n_tok") >= 20)
+        gated.withColumn("n_tok", token_count(F.col("text")))
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
@@ -1059,6 +1117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "repetition_stats": q_repetition_stats,
         "decontam_overlap": q_decontam_overlap,
+        "pii_scrub": q_pii_scrub,
+        "quality_gate": q_quality_gate,
         "ann_topk": q_ann_topk,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
@@ -1282,6 +1342,64 @@ def oracle_sql() -> dict[str, str]:
                                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
                         END AS n_distinct_trigrams
             FROM t
+        """,
+        "pii_scrub": r"""
+            WITH dirty AS (
+              SELECT doc_id,
+                     text || CASE
+                       WHEN doc_id % 7 = 0 THEN
+                         ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                       WHEN doc_id % 11 = 0 THEN
+                         ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 today'
+                       ELSE '' END AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                   len(regexp_extract_all(text,
+                       '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ipv4,
+                   len(regexp_extract_all(text, '\b\d{9,}\b')) AS n_longnum,
+                   md5(regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g'),
+                       '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[PII]', 'g'),
+                       '\b\d{9,}\b', '[PII]', 'g')) AS redacted_md5
+            FROM dirty
+        """,
+        "quality_gate": r"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                          ELSE string_split_regex(trim(text), '\s+') END AS toks
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id,
+                     len(toks) AS n_tok,
+                     CASE WHEN len(toks) = 0 THEN 0
+                          ELSE list_max(list_transform(list_distinct(toks),
+                                 d -> len(list_filter(toks, x -> x = d)))) END AS top_tok,
+                     greatest(len(toks) - 2, 0) AS n_tri,
+                     CASE WHEN len(toks) < 3 THEN 0
+                          ELSE len(list_distinct(list_transform(
+                                 range(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+                          END AS n_dtri,
+                     len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x)))
+                       AS n_sw
+              FROM t
+            )
+            SELECT doc_id,
+                   (n_tok >= 20 AND n_tok <= 100000) AS g_len,
+                   (n_tok > 0 AND top_tok * 1000 <= 100 * n_tok) AS g_top_token,
+                   (n_tri = 0 OR (n_tri - n_dtri) * 1000 <= 20 * n_tri) AS g_dup_trigram,
+                   (n_sw >= 2) AS g_stopword,
+                   ((n_tok >= 20 AND n_tok <= 100000)
+                    AND (n_tok > 0 AND top_tok * 1000 <= 100 * n_tok)
+                    AND (n_tri = 0 OR (n_tri - n_dtri) * 1000 <= 20 * n_tri)
+                    AND (n_sw >= 2)) AS keep
+            FROM s
         """,
         "decontam_overlap": r"""
             WITH toks AS (
@@ -1534,21 +1652,69 @@ FROM reach GROUP BY id
 
 
 def _training_pipeline_sql(threshold: float, min_tokens: int) -> str:
+    """Recursive-CTE clustering + 8-gram decontam + the integer quality
+    gate — mirrors q_training_pipeline stage for stage."""
     return rf"""
 WITH RECURSIVE {_cluster_ctes(threshold)},
 keepers AS (
   SELECT id AS doc_id FROM reach GROUP BY id HAVING id = min(r)
 ),
+toks AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\s+') END AS t
+  FROM documents
+),
+grams8 AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 8 THEN CAST([] AS VARCHAR[])
+              ELSE list_distinct(list_transform(
+                     range(1, len(t) - 6),
+                     i -> array_to_string(list_slice(t, i, i + 7), ' '))) END AS g
+  FROM toks
+),
+bench AS (
+  SELECT DISTINCT sh FROM (
+    SELECT unnest(g) AS sh FROM grams8 WHERE doc_id % 20 = 0
+  )
+),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(g) AS sh FROM grams8 WHERE doc_id % 20 <> 0
+  ) JOIN bench USING (sh)
+),
+sig AS (
+  SELECT doc_id,
+         len(t) AS n_tok,
+         CASE WHEN len(t) = 0 THEN 0
+              ELSE list_max(list_transform(list_distinct(t),
+                     d -> len(list_filter(t, x -> x = d)))) END AS top_tok,
+         greatest(len(t) - 2, 0) AS n_tri,
+         CASE WHEN len(t) < 3 THEN 0
+              ELSE len(list_distinct(list_transform(
+                     range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) END AS n_dtri,
+         len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x)))
+           AS n_sw
+  FROM toks
+),
 kept AS (
-  SELECT d.lang,
-         CASE WHEN length(trim(d.text)) = 0 THEN 0
-              ELSE len(string_split_regex(trim(d.text), '\s+')) END AS n_tok
-  FROM documents d JOIN keepers USING (doc_id)
+  SELECT d.lang, sig.n_tok
+  FROM documents d
+  JOIN keepers USING (doc_id)
+  JOIN sig USING (doc_id)
+  WHERE d.doc_id % 20 <> 0
+    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    AND sig.n_tok >= {min_tokens} AND sig.n_tok <= 100000
+    AND sig.n_tok > 0 AND sig.top_tok * 1000 <= 100 * sig.n_tok
+    AND (sig.n_tri = 0 OR (sig.n_tri - sig.n_dtri) * 1000 <= 20 * sig.n_tri)
+    AND sig.n_sw >= 2
 )
 SELECT lang,
        count(*) AS n_docs,
        CAST(sum(n_tok) AS BIGINT) AS total_tokens
-FROM kept WHERE n_tok >= {min_tokens}
+FROM kept
 GROUP BY lang
 """
 

@@ -44,6 +44,8 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "decontam_overlap",
     "repetition_stats",
+    "pii_scrub",
+    "quality_gate",
     "minhash_lsh_pairs",
     "simhash_near_pairs",
     "ann_topk",
