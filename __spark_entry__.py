@@ -1084,6 +1084,54 @@ def q_cdc_replay_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment (round 3 continuation): each click/view
+    event is joined to the latest purchase AT OR BEFORE its own
+    timestamp for the same user — the read-side dual of the versioned
+    lakelet (every query in the reference pins state to a release_date;
+    this is the general event-time form). Union-tagged sweep: ONE
+    shuffle on user_id, no range-join blowup, output exactly |left|.
+    Oracle: DuckDB's native ASOF LEFT JOIN over the identically
+    deduplicated right side."""
+    from clinvar_ingest_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        left, right, ["user_id"], payload=["value"], tie_col="event_id"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "asof_ts",
+        _cents(F.col("asof_value")).alias("asof_value_cents"),
+    )
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (round 3 continuation): 30-minute-gap
+    sessions per user over the event stream — lag → boundary flag →
+    running sum, both window passes planned over ONE Exchange. Money
+    summed as per-row integer cents so the aggregate is order-
+    independent and hash-stable across engines."""
+    from clinvar_ingest_spark.operators.temporal import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, ["user_id"], "ts", 1800, tie_cols=["event_id"])
+    return s.groupBy("user_id", "session_n").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.sum(_cents(F.col("value"))).alias("total_value_cents"),
+    )
+
+
 # --------------------------------------------------------------------------
 
 
@@ -1143,6 +1191,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "release_cut_join": q_release_cut_join,
         "stream_window_rollup": q_stream_window_rollup,
         "sorted_rewrite_replay": q_sorted_rewrite_replay,
+        # temporal family (round 3 continuation):
+        "asof_enrich": q_asof_enrich,
+        "sessionize_events": q_sessionize_events,
     }
 
 
@@ -1591,6 +1642,55 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn = 1 AND op <> 'delete'
         """,
     }
+    out["asof_enrich"] = """
+        -- DuckDB's native ASOF LEFT JOIN, over the identically
+        -- deduplicated right side (max event_id per (user_id, ts))
+        WITH l AS (
+          SELECT event_id, user_id, ts FROM events
+          WHERE event_type IN ('click', 'view')
+        ),
+        r AS (
+          SELECT user_id, ts, arg_max(value, event_id) AS value
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY user_id, ts
+        )
+        SELECT l.event_id, l.user_id, l.ts,
+               r.ts AS asof_ts,
+               CAST(round(r.value * 100, 0) AS BIGINT) AS asof_value_cents
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+    """
+    out["sessionize_events"] = """
+        WITH o AS (
+          SELECT user_id, ts, event_id, value,
+                 lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_ts
+          FROM events
+        ),
+        b AS (
+          SELECT *,
+                 CASE WHEN prev_ts IS NULL
+                        OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM o
+        ),
+        s AS (
+          SELECT *,
+                 CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS session_n
+          FROM b
+        )
+        SELECT user_id, session_n,
+               COUNT(*) AS n_events,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end,
+               CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS total_value_cents
+        FROM s
+        GROUP BY user_id, session_n
+    """
     # the sorted (Z-order) rewrite is a logically-empty commit: the live
     # state the query returns must equal the PLAIN replay oracle exactly
     out["sorted_rewrite_replay"] = out["cdc_replay_pages"]
