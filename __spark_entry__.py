@@ -1132,6 +1132,21 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k distinct sketch (round 3 continuation): distinct
+    users per event_type estimated from the 32 smallest cross-engine
+    md5-48 hashes — a mergeable sketch whose output is a pure function
+    of the distinct value set, so the normally-approximate operator
+    gets a FULL rows+schema+hash oracle (DuckDB recomputes the same k
+    hashes and the same integer estimate). Per-batch sketches union
+    into global ones via kmv_merge — bounded-state distinct counting
+    for the lineage ledger at 10^10 keys."""
+    from clinvar_ingest_spark.operators.sketch import kmv_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    return kmv_distinct(ev, "user_id", k=32, group_by=["event_type"])
+
+
 # --------------------------------------------------------------------------
 
 
@@ -1194,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # temporal family (round 3 continuation):
         "asof_enrich": q_asof_enrich,
         "sessionize_events": q_sessionize_events,
+        "kmv_distinct_users": q_kmv_distinct_users,
     }
 
 
@@ -1690,6 +1706,31 @@ def oracle_sql() -> dict[str, str]:
                  AS total_value_cents
         FROM s
         GROUP BY user_id, session_n
+    """
+    out["kmv_distinct_users"] = """
+        -- the sketch is a pure function of the distinct value set:
+        -- DuckDB recomputes the same bottom-32 md5-48 hashes and the
+        -- same (k-1)*2^48 div h_(k) integer estimate
+        WITH h AS (
+          SELECT DISTINCT event_type,
+                 ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+                   AS h
+          FROM events WHERE user_id IS NOT NULL
+        ),
+        r AS (
+          SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS d
+          FROM h
+        )
+        SELECT event_type,
+               CAST(LEAST(32, MAX(d)) AS BIGINT) AS n_keys,
+               MAX(CASE WHEN rn = LEAST(32, d) THEN h END) AS kth_hash,
+               CAST(CASE WHEN MAX(d) < 32 THEN MAX(d)
+                    ELSE (31 * 281474976710656)
+                         // MAX(CASE WHEN rn = 32 THEN h END)
+                    END AS BIGINT) AS est_distinct
+        FROM r GROUP BY event_type
     """
     # the sorted (Z-order) rewrite is a logically-empty commit: the live
     # state the query returns must equal the PLAIN replay oracle exactly
