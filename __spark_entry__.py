@@ -1147,6 +1147,35 @@ def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(ev, "user_id", k=32, group_by=["event_type"])
 
 
+def q_ivm_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (round 3 continuation): a per-lang
+    COUNT/SUM rollup materialized after the first 1000 fixture events,
+    then brought current by a changed-bucket DELTA hop (never a table
+    rescan) after the remaining batches — the self-maintainable-view
+    path a CDC engine owes its consumers at 10^10 rows. The oracle
+    recomputes the rollup from the global LWW winner set, so the gate
+    proves maintained == recomputed."""
+    import tempfile
+
+    from clinvar_ingest_spark.engine import CdcEngine
+    from clinvar_ingest_spark.operators.ivm import AggViewSpec, MaterializedAggView
+
+    clp = _ensure_cdc_fixture()
+    tmp = tempfile.mkdtemp(prefix="ivm_rollup_")
+    eng = CdcEngine(spark, os.path.join(tmp, "pages"), n_buckets=8)
+    cl = spark.read.parquet(clp)
+    spec = AggViewSpec(
+        group_cols=["lang"],
+        measures=[("n_pages", "count"), ("sum_seq", "sum", "_seq")],
+    )
+    view = MaterializedAggView(eng, spec, os.path.join(tmp, "view"))
+    eng.replay(cl.filter(F.col("seq") < 1000), batch_size=500)
+    view.refresh()  # full aggregation, once
+    eng.replay(cl.filter(F.col("seq") >= 1000), batch_size=500)
+    view.refresh()  # changed-bucket delta hop over the remaining commits
+    return view.read()
+
+
 # --------------------------------------------------------------------------
 
 
@@ -1210,6 +1239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_enrich": q_asof_enrich,
         "sessionize_events": q_sessionize_events,
         "kmv_distinct_users": q_kmv_distinct_users,
+        "ivm_lang_rollup": q_ivm_lang_rollup,
     }
 
 
@@ -1731,6 +1761,19 @@ def oracle_sql() -> dict[str, str]:
                          // MAX(CASE WHEN rn = 32 THEN h END)
                     END AS BIGINT) AS est_distinct
         FROM r GROUP BY event_type
+    """
+    out["ivm_lang_rollup"] = f"""
+        -- maintained view must equal a recompute over the global LWW
+        -- winner set (live rows only)
+        SELECT lang,
+               COUNT(*) AS n_pages,
+               CAST(SUM(seq) AS BIGINT) AS sum_seq
+        FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn
+          FROM read_parquet('{_ensure_cdc_fixture()}')
+        ) WHERE rn = 1 AND op <> 'delete'
+        GROUP BY lang
     """
     # the sorted (Z-order) rewrite is a logically-empty commit: the live
     # state the query returns must equal the PLAIN replay oracle exactly

@@ -258,6 +258,31 @@ class CdcEngine:
 
     # ------------------------------------------------------------------- diff
 
+    def changed_buckets(
+        self, old_snapshot: str, new_snapshot: str
+    ) -> list[int] | None:
+        """Buckets whose file sets differ between two snapshots.
+
+        COW ⇒ a bucket whose file list is identical in both manifests
+        holds identical rows and can't contribute to any diff or delta:
+        callers restrict both scans to CHANGED buckets (manifest-level
+        pruning — for an incremental hop this is |touched|/n_buckets of
+        the table). Returns ``None`` (= full scan) across a rebucket
+        boundary, where bucket ids are not comparable."""
+        new_m = self.table.manifest(new_snapshot)
+        old_m = self.table.manifest(old_snapshot)
+        if old_m.n_buckets != new_m.n_buckets:
+            return None
+
+        def by_bucket(m):
+            d: dict[int, set] = {}
+            for f in m.files:
+                d.setdefault(f.bucket, set()).add(f.path)
+            return d
+
+        ob, nb = by_bucket(old_m), by_bucket(new_m)
+        return sorted(b for b in set(ob) | set(nb) if ob.get(b) != nb.get(b))
+
     def diff_snapshots(
         self, old_snapshot: str, new_snapshot: str, null_safe: bool = True
     ) -> DataFrame:
@@ -274,23 +299,7 @@ class CdcEngine:
 
         new_m = self.table.manifest(new_snapshot)
         old_m = self.table.manifest(old_snapshot)
-        # COW ⇒ a bucket whose file list is identical in both manifests
-        # holds identical rows and can't contribute any diff: restrict
-        # both scans to CHANGED buckets (manifest-level pruning — for an
-        # incremental diff this is |touched|/n_buckets of the table).
-        # Different bucket counts (rebucket boundary) ⇒ full scan.
-        buckets = None
-        if old_m.n_buckets == new_m.n_buckets:
-            def by_bucket(m):
-                d: dict[int, set] = {}
-                for f in m.files:
-                    d.setdefault(f.bucket, set()).add(f.path)
-                return d
-
-            ob, nb = by_bucket(old_m), by_bucket(new_m)
-            buckets = sorted(
-                b for b in set(ob) | set(nb) if ob.get(b) != nb.get(b)
-            )
+        buckets = self.changed_buckets(old_snapshot, new_snapshot)
         old = self.table.read(self.spark, old_snapshot, buckets=buckets)
         # align the old side to the NEW snapshot's schema by col_id —
         # the same recursive name-mapping the read path uses (renames
