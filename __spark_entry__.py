@@ -1176,6 +1176,31 @@ def q_ivm_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view.read()
 
 
+def q_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph ranking (round 3 continuation): 5 fixed-point
+    PageRank iterations over the nation trade graph (edge = some
+    customer of nation A bought from a supplier of nation B). Exact
+    64-bit integer arithmetic per step — independent of partitioning
+    and shuffle order — so an ITERATIVE algorithm gets a full value
+    oracle (unrolled-CTE mirror). The web-corpus analogue is Common
+    Crawl's host-level link ranking; host_edges_from_links builds that
+    edge list from the fan-out link stream."""
+    from clinvar_ingest_spark.operators.graph import pagerank_fixed_point
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+    )
+    pr = pagerank_fixed_point(edges, iterations=5)
+    return pr.select(F.col("node").alias("nationkey"), "rank_fp")
+
+
 # --------------------------------------------------------------------------
 
 
@@ -1240,6 +1265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "kmv_distinct_users": q_kmv_distinct_users,
         "ivm_lang_rollup": q_ivm_lang_rollup,
+        "nation_pagerank": q_nation_pagerank,
     }
 
 
@@ -1762,6 +1788,7 @@ def oracle_sql() -> dict[str, str]:
                     END AS BIGINT) AS est_distinct
         FROM r GROUP BY event_type
     """
+    out["nation_pagerank"] = _nation_pagerank_sql(iterations=5)
     out["ivm_lang_rollup"] = f"""
         -- maintained view must equal a recompute over the global LWW
         -- winner set (live rows only)
@@ -1985,6 +2012,48 @@ SELECT lang,
        count(*) AS n_pages,
        CAST(sum(len(regexp_extract_all(h, '{title}'))) AS BIGINT) AS n_titles
 FROM win GROUP BY lang
+"""
+
+
+def _nation_pagerank_sql(iterations: int = 5) -> str:
+    """Unrolled fixed-point PageRank mirror: one CTE per iteration —
+    the integer arithmetic makes every intermediate bit-identical to
+    the Spark loop, so an iterative algorithm gets a value oracle."""
+    scale, num, den = 1_000_000, 85, 100
+    base = scale * (den - num) // den
+    steps = [
+        f"pr0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank_fp FROM nodes)"
+    ]
+    for i in range(1, iterations + 1):
+        steps.append(f"""pr{i} AS (
+  SELECT n.node,
+         CAST({base} + ({num} * COALESCE(inc.s, 0)) // {den} AS BIGINT)
+           AS rank_fp
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, CAST(SUM(p.rank_fp // d.deg) AS BIGINT) AS s
+    FROM edges e
+    JOIN pr{i - 1} p ON p.node = e.src
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) inc ON inc.node = n.node
+)""")
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+  UNION
+  SELECT DISTINCT dst FROM edges
+),
+{",".join(steps)}
+SELECT node AS nationkey, rank_fp FROM pr{iterations}
 """
 
 
