@@ -1201,6 +1201,39 @@ def q_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(F.col("node").alias("nationkey"), "rank_fp")
 
 
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap sessionization executed as a REAL
+    applyInPandasWithState job (round 3 continuation): per-host fetch
+    bursts segmented by a 1-hour silence gap, event-time timeouts
+    closing trailing sessions once the 2-hour watermark passes
+    session_end + gap (strict, ms precision — the state store's own
+    resolution). Append emission contract == batch sessionization minus
+    each host's trailing session unless the final watermark closed it;
+    the oracle recomputes exactly that in SQL."""
+    import shutil
+    import tempfile
+
+    from clinvar_ingest_spark.streaming.sessions import run_session_feed
+
+    clp = _ensure_cdc_fixture()
+    tmp = tempfile.mkdtemp(prefix="stream_sessions_")
+    seg_dir = os.path.join(tmp, "segs")
+    os.makedirs(seg_dir)
+    shutil.copy(clp, os.path.join(seg_dir, "seg-00.parquet"))
+    q = run_session_feed(
+        spark,
+        seg_dir,
+        os.path.join(tmp, "ckpt"),
+        os.path.join(tmp, "out"),
+        gap_seconds=3600,
+        watermark="2 hours",
+    )
+    q.awaitTermination(300)
+    if q.isActive:  # pragma: no cover - safety net
+        q.stop()
+    return spark.read.parquet(os.path.join(tmp, "out"))
+
+
 # --------------------------------------------------------------------------
 
 
@@ -1266,6 +1299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_users": q_kmv_distinct_users,
         "ivm_lang_rollup": q_ivm_lang_rollup,
         "nation_pagerank": q_nation_pagerank,
+        "stream_sessions": q_stream_sessions,
     }
 
 
@@ -1789,6 +1823,57 @@ def oracle_sql() -> dict[str, str]:
         FROM r GROUP BY event_type
     """
     out["nation_pagerank"] = _nation_pagerank_sql(iterations=5)
+    out["stream_sessions"] = f"""
+        -- batch sessionization + the append-emission contract: every
+        -- session closed by a successor, plus trailing sessions whose
+        -- close point (ms floor, strict <) the final watermark passed.
+        -- Sessions are segmented over DISTINCT (host, ts) points: the
+        -- fixture contains full-row duplicate deliveries, and lag/sum
+        -- over tied sort keys would be order-ambiguous; duplicates
+        -- rejoin afterwards so n_events still counts every delivery
+        -- (exactly what the streaming fold does).
+        WITH cl AS (
+          SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+                 warc_ts
+          FROM read_parquet('{_ensure_cdc_fixture()}')
+        ),
+        pts AS (SELECT DISTINCT host, warc_ts FROM cl),
+        o AS (
+          SELECT host, warc_ts,
+                 lag(warc_ts) OVER (PARTITION BY host
+                                    ORDER BY warc_ts) AS prev
+          FROM pts
+        ),
+        b AS (
+          SELECT *, CASE WHEN prev IS NULL
+                           OR epoch_us(warc_ts) - epoch_us(prev)
+                              > 3600 * 1000000::BIGINT
+                         THEN 1 ELSE 0 END AS is_new
+          FROM o
+        ),
+        s AS (
+          SELECT *, CAST(SUM(is_new) OVER (PARTITION BY host
+                                           ORDER BY warc_ts
+                                           ROWS UNBOUNDED PRECEDING)
+                         AS BIGINT) AS session_n
+          FROM b
+        ),
+        agg AS (
+          SELECT s.host, s.session_n,
+                 MIN(s.warc_ts) AS session_start,
+                 MAX(s.warc_ts) AS session_end,
+                 COUNT(*) AS n_events
+          FROM s JOIN cl ON cl.host = s.host AND cl.warc_ts = s.warc_ts
+          GROUP BY s.host, s.session_n
+        ),
+        mx AS (SELECT epoch_us(max(warc_ts)) // 1000 AS max_ms FROM cl)
+        SELECT host, session_start, session_end, n_events
+        FROM agg, mx
+        WHERE session_n <> (SELECT max(session_n) FROM agg a2
+                            WHERE a2.host = agg.host)
+           OR (epoch_us(session_end) + 3600 * 1000000::BIGINT) // 1000
+              < max_ms - 7200 * 1000::BIGINT
+    """
     out["ivm_lang_rollup"] = f"""
         -- maintained view must equal a recompute over the global LWW
         -- winner set (live rows only)

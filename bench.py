@@ -54,6 +54,11 @@ HEADLINE = [
     "dedup_clusters",
     "fanout_entities",
     "link_targets",
+    # round-3 continuation operators
+    "asof_enrich",
+    "sessionize_events",
+    "kmv_distinct_users",
+    "nation_pagerank",
 ]
 
 
