@@ -1234,6 +1234,32 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(tmp, "out"))
 
 
+def q_inverted_index_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained inverted index (round 3 continuation):
+    a token → posting-list lakelet table (array<string> payload — the
+    complex-type support carrying a real workload) built from the first
+    1000 fixture events, then advanced by a changed-bucket DELTA hop
+    (adds ∖ dels per token, array_except/array_union rewrite of touched
+    index buckets only) over the remaining commits. Deletes remove
+    postings; updates move them. The oracle rebuilds the postings from
+    the global LWW winner set — maintained == rebuilt, row for row."""
+    import tempfile
+
+    from clinvar_ingest_spark.engine import CdcEngine
+    from clinvar_ingest_spark.operators.index import InvertedIndex
+
+    clp = _ensure_cdc_fixture()
+    tmp = tempfile.mkdtemp(prefix="inv_index_")
+    eng = CdcEngine(spark, os.path.join(tmp, "pages"), n_buckets=8)
+    cl = spark.read.parquet(clp)
+    idx = InvertedIndex(eng, os.path.join(tmp, "index"), n_buckets=8)
+    eng.replay(cl.filter(F.col("seq") < 1000), batch_size=500)
+    idx.refresh()  # initial build
+    eng.replay(cl.filter(F.col("seq") >= 1000), batch_size=500)
+    idx.refresh()  # one delta hop over the remaining commits
+    return idx.read().select("token", F.explode("urls").alias("url"))
+
+
 # --------------------------------------------------------------------------
 
 
@@ -1300,6 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_lang_rollup": q_ivm_lang_rollup,
         "nation_pagerank": q_nation_pagerank,
         "stream_sessions": q_stream_sessions,
+        "inverted_index_replay": q_inverted_index_replay,
     }
 
 
@@ -1823,6 +1850,26 @@ def oracle_sql() -> dict[str, str]:
         FROM r GROUP BY event_type
     """
     out["nation_pagerank"] = _nation_pagerank_sql(iterations=5)
+    out["inverted_index_replay"] = f"""
+        -- maintained index must equal a from-scratch rebuild over the
+        -- global LWW winner set (host + path-segment tokens)
+        WITH win AS (
+          SELECT url FROM (
+            SELECT *, row_number() OVER (
+                     PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn
+            FROM read_parquet('{_ensure_cdc_fixture()}')
+          ) WHERE rn = 1 AND op <> 'delete'
+        )
+        SELECT DISTINCT
+               unnest(list_concat(
+                 [regexp_extract(url, 'https://([^/]+)', 1)],
+                 list_filter(
+                   string_split(
+                     regexp_extract(url, 'https://[^/]+/(.*)', 1), '/'),
+                   x -> x <> ''))) AS token,
+               url
+        FROM win
+    """
     out["stream_sessions"] = f"""
         -- batch sessionization + the append-emission contract: every
         -- session closed by a successor, plus trailing sessions whose
