@@ -1260,6 +1260,64 @@ def q_inverted_index_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.read().select("token", F.explode("urls").alias("url"))
 
 
+def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's snapshot-to-snapshot change feed (round 3
+    continuation): replay half the fixture, pin that snapshot, replay
+    the rest, then read `diff_snapshots(half, head)` — created /
+    updated / deleted classification straight off the lakelet manifests
+    with COW changed-bucket pruning (reference semantics:
+    docker/diff/diff.py:117-182, the BigQuery diff re-expressed as one
+    full-outer join over changed buckets). The oracle recomputes both
+    LWW states in SQL and classifies with NULL-safe compares."""
+    import tempfile
+
+    from clinvar_ingest_spark.engine import CdcEngine
+
+    clp = _ensure_cdc_fixture()
+    tmp = tempfile.mkdtemp(prefix="table_changes_")
+    eng = CdcEngine(spark, os.path.join(tmp, "pages"), n_buckets=8)
+    cl = spark.read.parquet(clp)
+    eng.replay(cl.filter(F.col("seq") < 1000), batch_size=500)
+    sid_half = eng.table.current_snapshot_id()
+    eng.replay(cl.filter(F.col("seq") >= 1000), batch_size=500)
+    sid_head = eng.table.current_snapshot_id()
+    d = eng.diff_snapshots(sid_half, sid_head)
+    return d.select(
+        F.col("_change").alias("change"),
+        "url",
+        "warc_ts",
+        "lang",
+        "props",
+        F.sha2(F.col("html"), 256).alias("html_sha"),
+    )
+
+
+def q_corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete length quantiles per language (round 3
+    continuation): the corpus-stats sheet every dataset card carries
+    (p50/p90/max doc length per lang). `percentile_disc` — an EXACT
+    order statistic, not `percentile_approx` — so the value is a member
+    of the data and hash-stable; DuckDB's quantile_disc uses the same
+    discrete convention (verified on boundary cases). Distributed cost
+    is one sort per (small) group — for corpus-card stats that is the
+    right trade; streaming-friendly approximations exist upstream
+    (KMV-style sketches) when exactness is not required."""
+    docs = _t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("_docs_q")
+    return spark.sql(
+        """
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)
+                    AS BIGINT) AS p50_chars,
+               CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars)
+                    AS BIGINT) AS p90_chars,
+               MAX(n_chars) AS max_chars
+        FROM _docs_q GROUP BY lang
+        """
+    )
+
+
 # --------------------------------------------------------------------------
 
 
@@ -1327,6 +1385,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_pagerank": q_nation_pagerank,
         "stream_sessions": q_stream_sessions,
         "inverted_index_replay": q_inverted_index_replay,
+        "table_changes": q_table_changes,
+        "corpus_quantiles": q_corpus_quantiles,
     }
 
 
@@ -1850,6 +1910,60 @@ def oracle_sql() -> dict[str, str]:
         FROM r GROUP BY event_type
     """
     out["nation_pagerank"] = _nation_pagerank_sql(iterations=5)
+    out["corpus_quantiles"] = """
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50_chars,
+               CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90_chars,
+               MAX(n_chars) AS max_chars
+        FROM documents GROUP BY lang
+    """
+    out["table_changes"] = f"""
+        -- both LWW states recomputed in SQL, classified with NULL-safe
+        -- compares (IS DISTINCT FROM == the engine's <=> negation);
+        -- text is a pure function of html so html_sha covers it
+        WITH snap_a AS (
+          SELECT url, warc_ts, lang,
+                 '{{"fetch_ms":' ||
+                   regexp_extract(extra, '"fetch_ms": ([0-9]+)', 1) ||
+                 ',"status":' ||
+                   regexp_extract(extra, '"status": ([0-9]+)', 1) || '}}'
+                   AS props,
+                 sha256(decode(html)) AS html_sha
+          FROM (
+            SELECT *, row_number() OVER (
+                     PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn
+            FROM read_parquet('{_ensure_cdc_fixture()}') WHERE seq < 1000
+          ) WHERE rn = 1 AND op <> 'delete'
+        ),
+        snap_b AS (
+          SELECT url, warc_ts, lang,
+                 '{{"fetch_ms":' ||
+                   regexp_extract(extra, '"fetch_ms": ([0-9]+)', 1) ||
+                 ',"status":' ||
+                   regexp_extract(extra, '"status": ([0-9]+)', 1) || '}}'
+                   AS props,
+                 sha256(decode(html)) AS html_sha
+          FROM (
+            SELECT *, row_number() OVER (
+                     PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn
+            FROM read_parquet('{_ensure_cdc_fixture()}')
+          ) WHERE rn = 1 AND op <> 'delete'
+        )
+        SELECT 'created' AS change, b.url, b.warc_ts, b.lang, b.props,
+               b.html_sha
+        FROM snap_b b LEFT JOIN snap_a a USING (url) WHERE a.url IS NULL
+        UNION ALL
+        SELECT 'deleted', a.url, a.warc_ts, a.lang, a.props, a.html_sha
+        FROM snap_a a LEFT JOIN snap_b b USING (url) WHERE b.url IS NULL
+        UNION ALL
+        SELECT 'updated', b.url, b.warc_ts, b.lang, b.props, b.html_sha
+        FROM snap_b b JOIN snap_a a USING (url)
+        WHERE (b.warc_ts IS DISTINCT FROM a.warc_ts)
+           OR (b.lang IS DISTINCT FROM a.lang)
+           OR (b.props IS DISTINCT FROM a.props)
+           OR (b.html_sha IS DISTINCT FROM a.html_sha)
+    """
     out["inverted_index_replay"] = f"""
         -- maintained index must equal a from-scratch rebuild over the
         -- global LWW winner set (host + path-segment tokens)

@@ -161,6 +161,42 @@ def test_session_stats(spark):
     assert out[(1, 2)]["n_events"] == 1
 
 
+def test_session_stats_matches_builtin_session_window(spark):
+    """A/B vs Spark's built-in F.session_window: same gap semantics on
+    strict-less comparisons? The built-in treats a gap EQUAL to the
+    duration as the SAME session closing boundary differently — it uses
+    [start, last+gap) half-open windows, i.e. an event exactly gap
+    after the previous one starts a NEW session, while our sessionize
+    keeps it (> vs >=). Verify agreement everywhere ties don't occur
+    and document the off-by-boundary difference where they do."""
+    import random
+
+    rnd = random.Random(9)
+    rows = [
+        (rnd.randrange(5), _ts(0, rnd.randrange(7200)), i, 1.0)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "user long, ts timestamp, id long, value double")
+    from pyspark.sql import functions as F
+
+    ours = session_stats(df, ["user"], "ts", 600, tie_cols=["id"]).select(
+        "user", "session_start", "session_end", "n_events"
+    )
+    builtin = (
+        df.groupBy("user", F.session_window("ts", "600 seconds").alias("w"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user", "session_start", "session_end", "n_events")
+    )
+    a = sorted(map(tuple, ours.collect()))
+    b = sorted(map(tuple, builtin.collect()))
+    # random microsecond timestamps -> no exact-gap ties -> must agree
+    assert a == b
+
+
 def test_sessionize_single_exchange(spark):
     df = spark.createDataFrame(
         [(1, _ts(0), 1)], "user long, ts timestamp, id long"
