@@ -1318,6 +1318,30 @@ def q_corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIXTURE = {
+    "src0": 0.25,   # heavy downsample
+    "src1": 1.0,    # pass through
+    "src2": 2.0,    # exact 2 epochs (never consults the hash)
+    "src3": 2.5,    # 2 epochs + deterministic 50 % third copy
+    "src4": 0.6180339,  # snaps to 1/precision grid
+}
+
+
+def q_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted dataset mixing (round 3 continuation): the Pile/Dolma-
+    style per-source epoch weights applied exactly — floor(w) full
+    copies plus a deterministic fractional copy decided by the
+    cross-engine md5-48 hash of (doc, epoch), integer-grid thresholds,
+    zero shuffle (broadcast mixture + explode(sequence) fused into the
+    scan). Unlisted sources drop (weight 0). The oracle is the SAME
+    spec rendered to SQL by mixture_sql()."""
+    from clinvar_ingest_spark.operators.mixing import apply_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    out = apply_mixture(docs, _MIXTURE)
+    return out.select("doc_id", "source", "epoch")
+
+
 # --------------------------------------------------------------------------
 
 
@@ -1387,6 +1411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index_replay": q_inverted_index_replay,
         "table_changes": q_table_changes,
         "corpus_quantiles": q_corpus_quantiles,
+        "dataset_mixture": q_dataset_mixture,
     }
 
 
@@ -1910,6 +1935,11 @@ def oracle_sql() -> dict[str, str]:
         FROM r GROUP BY event_type
     """
     out["nation_pagerank"] = _nation_pagerank_sql(iterations=5)
+    from clinvar_ingest_spark.operators.mixing import mixture_sql as _mix_sql
+
+    out["dataset_mixture"] = (
+        "SELECT doc_id, source, epoch FROM (" + _mix_sql(_MIXTURE) + ")"
+    )
     out["corpus_quantiles"] = """
         SELECT lang,
                COUNT(*) AS n_docs,
