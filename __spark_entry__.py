@@ -1084,6 +1084,37 @@ def q_cdc_replay_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read engine path (round-3 continuation): the SAME
+    fixture changelog as cdc_replay_pages, applied as delta-file
+    appends (write_mode='mor' — apply cost ∝ batch size, the table is
+    never read during apply), then compacted on only HALF the buckets,
+    so the final read exercises the mixed plan: resolved base buckets
+    + read-time LWW resolution over the still-stacked ones. The oracle
+    is the identical global-LWW SQL — proving Iceberg v2's COW/MOR
+    trade is implemented without a semantic fork (same final state,
+    bit-for-bit, as the COW replay)."""
+    import tempfile
+
+    from clinvar_ingest_spark.engine import CdcEngine
+
+    clp = _ensure_cdc_fixture()
+    tmp = tempfile.mkdtemp(prefix="mor_replay_")
+    eng = CdcEngine(spark, os.path.join(tmp, "pages"), n_buckets=8,
+                    write_mode="mor")
+    eng.replay(spark.read.parquet(clp), batch_size=500)
+    half = eng.table.delta_buckets()[::2]
+    eng.compact(buckets=half)
+    return eng.live().select(
+        "url",
+        "warc_ts",
+        "lang",
+        "props",
+        F.sha2(F.col("html"), 256).alias("html_sha"),
+        F.col("_seq").alias("last_seq"),
+    )
+
+
 def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time enrichment (round 3 continuation): each click/view
     event is joined to the latest purchase AT OR BEFORE its own
@@ -1397,6 +1428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fanout_entities": q_fanout_entities,
         "link_targets": q_link_targets,
         "cdc_replay_pages": q_cdc_replay_pages,
+        "mor_replay": q_mor_replay,
         "array_struct_replay": q_array_struct_replay,
         "release_cut_join": q_release_cut_join,
         "stream_window_rollup": q_stream_window_rollup,
@@ -2081,6 +2113,9 @@ def oracle_sql() -> dict[str, str]:
     # the sorted (Z-order) rewrite is a logically-empty commit: the live
     # state the query returns must equal the PLAIN replay oracle exactly
     out["sorted_rewrite_replay"] = out["cdc_replay_pages"]
+    # merge-on-read replay reconverges to the identical LWW state — the
+    # COW oracle IS the MOR oracle (no semantic fork between modes)
+    out["mor_replay"] = out["cdc_replay_pages"]
     return out
 
 

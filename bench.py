@@ -118,6 +118,60 @@ def bench_cdc_replay(spark, sf: float, workdir: str) -> dict:
     return best
 
 
+def bench_mor_apply(spark, workdir: str) -> dict:
+    """COW vs MOR steady-state apply: build the SAME base table from
+    the first 75% of the changelog (COW in both), then apply the last
+    25% as 16 small micro-batches per mode — the hot-batch regime where
+    the write modes actually diverge. Reports apply wall + events/s,
+    ROWS WRITTEN per mode (the write-amplification number that scales:
+    COW rewrites every touched bucket's full content per batch, MOR
+    writes only the batch), MOR's deferred compaction cost, and the
+    final-state hash equality check. At local sf the wall times are
+    dominated by per-batch fixed cost (file count is identical in both
+    modes); write_amplification is the 100 TB-relevant ratio."""
+    from clinvar_ingest_spark.engine import CdcEngine
+
+    clp = os.path.join(workdir, "changelog.parquet")
+    cl = spark.read.parquet(clp)
+    n = cl.count()
+    cut = (n * 3) // 4
+    base, tail = cl.filter(f"seq < {cut}"), cl.filter(f"seq >= {cut}")
+    tail_n = n - cut
+    out = {}
+    hashes = {}
+    for mode in ("cow", "mor"):
+        root = os.path.join(workdir, f"pages_{mode}_ab")
+        CdcEngine(spark, root, n_buckets=64).replay(
+            base, batch_size=max(cut // 4, 1)
+        )
+        eng = CdcEngine(spark, root, n_buckets=64, write_mode=mode)
+        t0 = time.time()
+        stats = eng.replay(
+            tail, batch_size=max(tail_n // 16, 1), from_seq=cut
+        )
+        wall = time.time() - t0
+        ev = sum(s.n_events for s in stats)
+        rows_written = sum(sum(s.bucket_rows.values()) for s in stats)
+        out[mode] = {
+            "apply_sec": round(wall, 3),
+            "events_per_sec": round(ev / wall, 1),
+            "rows_written": rows_written,
+        }
+        if mode == "mor":
+            t0 = time.time()
+            eng.compact()
+            out[mode]["compact_sec"] = round(time.time() - t0, 3)
+        hashes[mode] = eng.state_hash()
+    out["mor_apply_speedup"] = round(
+        out["cow"]["apply_sec"] / out["mor"]["apply_sec"], 3
+    )
+    out["cow_write_amplification"] = round(
+        out["cow"]["rows_written"] / max(out["mor"]["rows_written"], 1), 2
+    )
+    out["state_hash_equal"] = hashes["cow"] == hashes["mor"]
+    return out
+
+
 def bench_extract_ab(spark, clp: str) -> dict:
     """Round-3 A/B: the HTML→text kernel as an Arrow-batched pandas
     UDF (determinism reference) vs the codegen'd regexp-chain variant,
@@ -188,6 +242,7 @@ def main() -> None:
         extract_ab = bench_extract_ab(
             spark, os.path.join(workdir, "changelog.parquet")
         )
+        mor_ab = bench_mor_apply(spark, workdir)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
     times["cdc_replay"] = cdc["sec"]
@@ -200,6 +255,7 @@ def main() -> None:
         "sf": sf,
         "cdc": cdc,
         "extract_ab": extract_ab,
+        "cow_vs_mor": mor_ab,
         "cores": CPUS or "all",
     }
     print(json.dumps(out))

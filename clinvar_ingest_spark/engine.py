@@ -46,6 +46,7 @@ class CdcEngine:
         n_buckets: int = 16,
         strategy: str = "cogroup",
         extract_kernel: str = "python",
+        write_mode: str = "cow",
     ):
         """``strategy``: 'cogroup' (default; per-bucket applyInPandas,
         2 shuffles/batch) or 'join' (full-outer-join formulation,
@@ -56,7 +57,16 @@ class CdcEngine:
         byte-determinism reference) or 'jvm' (chained regexp_replace
         column expressions, whole-stage codegen, A/B-verified
         byte-identical on the fixture corpus; join strategy only — the
-        cogroup kernel extracts inside its Arrow function)."""
+        cogroup kernel extracts inside its Arrow function).
+
+        ``write_mode``: 'cow' (default; every apply rewrites touched
+        buckets, reads stay resolve-free) or 'mor' (merge-on-read:
+        applies APPEND delta files — cost ∝ batch size, never bucket
+        size — and reads LWW-resolve until :meth:`compact` folds the
+        stack; identical logical state, A/B'd by state hash). MOR
+        batches that need COW carry-over semantics (post-evolution
+        columns the batch doesn't speak) automatically fall back to a
+        COW apply."""
         if strategy not in ("cogroup", "join"):
             raise ValueError(f"unknown merge strategy {strategy!r}")
         if extract_kernel not in ("python", "jvm"):
@@ -66,9 +76,12 @@ class CdcEngine:
                 "extract_kernel='jvm' requires strategy='join' (the "
                 "cogroup merge extracts inside its Arrow kernel)"
             )
+        if write_mode not in ("cow", "mor"):
+            raise ValueError(f"unknown write mode {write_mode!r}")
         self.spark = spark
         self.strategy = strategy
         self.extract_kernel = extract_kernel
+        self.write_mode = write_mode
         self.table = LakeletTable.create(root, PAGES_COLUMNS, n_buckets=n_buckets)
         self.ledger = Ledger(self.table.ledger_dir)
 
@@ -145,20 +158,36 @@ class CdcEngine:
             )
             return None
         t0 = time.time()
-        if self.strategy == "cogroup":
-            from clinvar_ingest_spark.operators.merge_cogroup import (
-                merge_apply_cogrouped,
+        stats = None
+        if self.write_mode == "mor":
+            from clinvar_ingest_spark.operators.merge import (
+                MorCarryoverRequired,
+                merge_apply_mor,
             )
 
-            stats = merge_apply_cogrouped(
-                self.spark, self.table, batch, batch_id,
-                assume_all_buckets=assume_all_buckets,
-            )
-        else:
-            stats = merge_apply(
-                self.spark, self.table, batch, batch_id,
-                extract_kernel=self.extract_kernel,
-            )
+            try:
+                stats = merge_apply_mor(
+                    self.spark, self.table, batch, batch_id,
+                    extract_kernel=self.extract_kernel,
+                    assume_all_buckets=assume_all_buckets,
+                )
+            except MorCarryoverRequired:
+                stats = None  # fall through to a COW apply of this batch
+        if stats is None:
+            if self.strategy == "cogroup":
+                from clinvar_ingest_spark.operators.merge_cogroup import (
+                    merge_apply_cogrouped,
+                )
+
+                stats = merge_apply_cogrouped(
+                    self.spark, self.table, batch, batch_id,
+                    assume_all_buckets=assume_all_buckets,
+                )
+            else:
+                stats = merge_apply(
+                    self.spark, self.table, batch, batch_id,
+                    extract_kernel=self.extract_kernel,
+                )
         wall = time.time() - t0
 
         self.ledger.record(
@@ -175,6 +204,8 @@ class CdcEngine:
                 watermark=stats.watermark,
                 wall_secs=round(wall, 4),
                 events_per_sec=round(stats.n_events / wall, 2) if wall > 0 else 0.0,
+                mode=stats.mode,
+                n_upserts=stats.n_upserts,
                 partitions=[
                     {"bucket": b, "rows": r}
                     for b, r in sorted(stats.bucket_rows.items())
@@ -183,17 +214,62 @@ class CdcEngine:
         )
         return stats
 
+    def compact(self, buckets: list[int] | None = None) -> str | None:
+        """Fold merge-on-read delta files back into base files: read the
+        RESOLVED state of every delta-bearing bucket (optionally
+        restricted to ``buckets``) and COW-rewrite exactly those
+        buckets. Logical state is unchanged (state-hash invariant,
+        tests/test_mor.py); subsequent reads of the compacted buckets
+        plan with zero resolution overhead again.
+
+        Idempotent (deterministic batch id per source snapshot) and
+        OCC-safe (pinned to the snapshot it planned against — a
+        concurrent apply landing mid-compaction raises
+        CommitConflictError rather than losing its delta, and the
+        caller simply re-runs compaction later). Returns the new
+        snapshot id, or None if nothing to compact.
+
+        At 100 TB this is the background half of the MOR trade: applies
+        stay ∝ batch size at any cadence, and compaction amortizes the
+        read-side resolution across however many batches landed since
+        the last fold — exactly Iceberg's rewrite_data_files loop.
+        """
+        from clinvar_ingest_spark.lakelet.table import bucket_expr
+
+        m = self.table.manifest()
+        todo = self.table.delta_buckets()
+        if buckets is not None:
+            want = set(int(b) for b in buckets)
+            todo = [b for b in todo if b in want]
+        if not todo:
+            return None
+        rows = self.table.read(self.spark, buckets=todo).withColumn(
+            "_bucket", bucket_expr(self.table.key_col, m.n_buckets)
+        )
+        return self.table.commit_rewrite(
+            self.spark,
+            rows,
+            touched_buckets=todo,
+            batch_id=f"compact:{m.snapshot_id[:16]}",
+            expected_parent_id=m.snapshot_id,
+        )
+
     def replay(
         self,
         changelog: DataFrame,
         batch_size: int,
         from_seq: int | None = None,
+        compact_every: int | None = None,
     ) -> list[MergeStats]:
         """Drive the micro-batch loop over a changelog DataFrame.
 
         ``from_seq=None`` resumes from the ledger checkpoint — replaying
         a changelog against a half-applied table continues where it
         stopped; replaying from 0 no-ops the committed prefix.
+
+        ``compact_every=k`` folds merge-on-read deltas after every k
+        applied batches AND once at the end — the deployment cadence
+        for ``write_mode='mor'`` (ignored when no deltas exist).
         """
         bounds = changelog.agg(
             F.min("seq").alias("lo"), F.max("seq").alias("hi")
@@ -207,6 +283,7 @@ class CdcEngine:
         # events ≫ buckets ⇒ every bucket is statistically touched; skip
         # the per-batch touched-buckets job (see merge_apply_cogrouped)
         all_buckets = batch_size >= 50 * self.table.manifest().n_buckets
+        applied_since_compact = 0
         for first in range(start, hi + 1, batch_size):
             last = first + batch_size - 1
             b = changelog.filter(
@@ -215,6 +292,12 @@ class CdcEngine:
             stats = self.apply_batch(b, first, last, assume_all_buckets=all_buckets)
             if stats is not None:
                 out.append(stats)
+                applied_since_compact += 1
+                if compact_every and applied_since_compact >= compact_every:
+                    self.compact()
+                    applied_since_compact = 0
+        if compact_every and applied_since_compact:
+            self.compact()
         return out
 
     # ------------------------------------------------------------------ reads
@@ -404,7 +487,8 @@ class CdcEngine:
             "batch_id string, snapshot_id string, first_seq long, "
             "last_seq long, n_events long, n_inserts long, n_updates long, "
             "n_deletes long, touched_buckets long, watermark string, "
-            "wall_secs double, events_per_sec double, engine_version string, "
+            "wall_secs double, events_per_sec double, mode string, "
+            "n_upserts long, engine_version string, "
             "applied_at double, partitions_json string"
         )
         return self.spark.createDataFrame(
@@ -413,8 +497,8 @@ class CdcEngine:
                     "batch_id", "snapshot_id", "first_seq", "last_seq",
                     "n_events", "n_inserts", "n_updates", "n_deletes",
                     "touched_buckets", "watermark", "wall_secs",
-                    "events_per_sec", "engine_version", "applied_at",
-                    "partitions_json",
+                    "events_per_sec", "mode", "n_upserts", "engine_version",
+                    "applied_at", "partitions_json",
                 ))
                 for r in flat
             ],

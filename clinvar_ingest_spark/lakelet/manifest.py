@@ -84,6 +84,13 @@ class FileEntry:
     #: None (e.g. any nulls / stats missing) = never pruned.
     ts_min: str | None = None
     ts_max: str | None = None
+    #: "base" (COW-resolved bucket state: ≤1 row per key) or "delta"
+    #: (merge-on-read commit: LWW-versioned upsert/tombstone rows layered
+    #: on top of the base — readers resolve, compaction folds). The
+    #: Iceberg v2 MOR analogue re-expressed for the LWW row model: one
+    #: delta ROW carries the full new row version (or tombstone), so no
+    #: separate position/equality-delete files are needed.
+    kind: str = "base"
 
     def to_json(self) -> dict:
         return asdict(self)

@@ -361,6 +361,7 @@ class LakeletTable:
         buckets: Sequence[int] | None = None,
         ts_not_before: str | None = None,
         ts_not_after: str | None = None,
+        resolve: bool = True,
     ) -> DataFrame:
         """DataFrame of a snapshot (current by default), optionally pruned
         to a bucket subset and/or a ``warc_ts`` window (manifest-level
@@ -371,12 +372,32 @@ class LakeletTable:
         multi-schema-version file groups via col_id name-mapping +
         widen casts; result always presents the snapshot's *current*
         schema.
+
+        Merge-on-read: if the selected buckets carry ``delta`` files
+        (see :meth:`commit_delta`), the read LWW-resolves base + delta
+        rows to one row per key (``resolve=False`` returns the raw
+        physical stack — compaction internals / tests). Resolution
+        costs one Exchange on the key over ONLY the delta-bearing
+        buckets' rows; a fully compacted snapshot plans exactly like a
+        pure-COW one. The ts-window prune is disabled for delta-bearing
+        buckets — skipping a file there could drop the LWW winner and
+        resurrect a superseded row version, which is worse than the
+        advisory extra-rows contract.
         """
         m = self.manifest(snapshot_id)
         target_cols = m.columns
         target_schema = spark_schema(target_cols)
         bset = set(int(b) for b in buckets) if buckets is not None else None
-        files = select_files(m.files, bset, ts_not_before, ts_not_after)
+        in_buckets = [f for f in m.files if bset is None or f.bucket in bset]
+        delta_buckets = {f.bucket for f in in_buckets if f.kind == "delta"}
+        if delta_buckets:
+            files = [f for f in in_buckets if f.bucket in delta_buckets]
+            files += select_files(
+                [f for f in in_buckets if f.bucket not in delta_buckets],
+                None, ts_not_before, ts_not_after,
+            )
+        else:
+            files = select_files(in_buckets, None, ts_not_before, ts_not_after)
         if not files:
             return spark.createDataFrame([], schema=target_schema)
 
@@ -392,7 +413,33 @@ class LakeletTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if resolve and delta_buckets:
+            out = self._resolve_lww(out, m)
         return out
+
+    def _resolve_lww(self, df: DataFrame, m: Manifest) -> DataFrame:
+        """Collapse a base+delta row stack to the LWW winner per key.
+        Order columns come from the manifest summary (``mor_order``,
+        written by :meth:`commit_delta`); ties are impossible in engine
+        use because ``_seq`` is the changelog's globally-unique event
+        sequence (redeliveries are absorbed by the exactly-once ledger
+        before a second delta could exist)."""
+        from pyspark.sql.window import Window
+
+        key = m.summary.get("key_col", "url")
+        order = m.summary.get("mor_order", ["warc_ts", "_seq"])
+        w = Window.partitionBy(key).orderBy(*[F.col(c).desc() for c in order])
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def delta_buckets(self, snapshot_id: str | None = None) -> list[int]:
+        """Buckets of a snapshot carrying unresolved delta files
+        (= the compaction work list)."""
+        m = self.manifest(snapshot_id)
+        return sorted({f.bucket for f in m.files if f.kind == "delta"})
 
     def touched_buckets(self, batch_keys: DataFrame, key_col: str | None = None) -> list[int]:
         """Distinct buckets of a batch's keys (small: ≤ n_buckets ints)."""
@@ -593,6 +640,103 @@ class LakeletTable:
         self._commit_manifest(nm, m, cleanup_paths=[f.path for f in new_entries])
         return sid
 
+    def commit_delta(
+        self,
+        spark: SparkSession,
+        delta_rows: DataFrame,
+        touched_buckets: Sequence[int],
+        batch_id: str,
+        summary: dict | None = None,
+        stats_out: dict | None = None,
+        pre_partitioned: bool = False,
+        expected_parent_id: str | None = None,
+        mor_order: Sequence[str] = ("warc_ts", "_seq"),
+    ) -> str:
+        """Merge-on-read commit: APPEND ``delta_rows`` (full new row
+        versions / tombstones, with a ``_bucket`` column and the current
+        schema's columns) as ``kind='delta'`` files — every existing
+        file carries forward untouched. Reads LWW-resolve the stack
+        (:meth:`read`); :func:`compact` / any COW rewrite of the bucket
+        folds it back to base.
+
+        This is the write path that keeps apply cost ∝ batch size
+        instead of ∝ touched-bucket size: a 10^4-event micro-batch over
+        a 100 TB table writes 10^4 rows, not the full content of every
+        touched bucket. The trade moves merge work to readers until the
+        next compaction — Iceberg v2's COW/MOR trade, re-expressed for
+        the LWW row model (one delta row = one full row version, so no
+        separate equality/position delete files are needed; a tombstone
+        row IS the delete).
+
+        Same idempotency (deterministic sid), same head-chain CAS, same
+        conflict/cleanup behavior as :meth:`commit_rewrite`.
+        """
+        m = self.manifest()
+        if expected_parent_id is not None and m.snapshot_id != expected_parent_id:
+            raise CommitConflictError(
+                f"planned against {expected_parent_id}, table moved to "
+                f"{m.snapshot_id} — re-plan the merge"
+            )
+        sid = snapshot_id_for(m.snapshot_id, batch_id, m.schema_version)
+        if self._is_committed_child(sid, m):
+            if stats_out is not None:
+                stats_out["skipped"] = True
+            return sid
+
+        import time as _time
+        import uuid as _uuid
+
+        t0 = _time.time()
+        cols = [c.name for c in m.columns]
+        token = _uuid.uuid4().hex[:8]
+        staging = os.path.join(self.root, f"_staging-{sid}-{token}")
+        if "_deleted" in cols and "_deleted" not in delta_rows.columns:
+            delta_rows = delta_rows.withColumn("_deleted", F.lit(False))
+        to_write = delta_rows.select("_bucket", *cols)
+        if not pre_partitioned:
+            to_write = to_write.repartition(max(len(touched_buckets), 1), "_bucket")
+        to_write.write.mode("overwrite").partitionBy("_bucket").parquet(staging)
+
+        t_write_done = _time.time()
+        new_entries = promote_staged_files(
+            self.root, staging, sid, token, m.schema_version, kind="delta"
+        )
+        _rmtree(staging)
+
+        if stats_out is not None:
+            stats_out["skipped"] = False
+            per_bucket: dict[int, int] = {}
+            for fe in new_entries:
+                per_bucket[fe.bucket] = per_bucket.get(fe.bucket, 0) + fe.rows
+            stats_out["bucket_rows"] = per_bucket
+            stats_out["write_secs"] = round(t_write_done - t0, 4)
+            stats_out["commit_secs"] = round(_time.time() - t_write_done, 4)
+
+        files = list(m.files) + new_entries
+        new_summary = dict(m.summary)
+        new_summary.update(summary or {})
+        # a data change invalidates any clustered-layout claim, and the
+        # resolution order must be pinned for every future reader of
+        # this snapshot chain
+        new_summary.pop("sort_order", None)
+        new_summary["mor_order"] = list(mor_order)
+        # physical row count (base + unresolved delta versions) — the
+        # logical count needs resolution, which a metadata commit
+        # cannot afford; compaction snaps it back to logical
+        new_summary["total_rows"] = sum(f.rows for f in files)
+        nm = Manifest(
+            snapshot_id=sid,
+            parent_id=m.snapshot_id,
+            batch_id=batch_id,
+            schema_version=m.schema_version,
+            n_buckets=m.n_buckets,
+            schemas=m.schemas,
+            files=files,
+            summary=new_summary,
+        )
+        self._commit_manifest(nm, m, cleanup_paths=[f.path for f in new_entries])
+        return sid
+
     # ------------------------------------------------------- schema evolution
 
     def _evolve(self, batch_id: str, mutate) -> str:
@@ -709,6 +853,7 @@ def promote_staged_files(
     sid: str,
     token: str,
     schema_version: int,
+    kind: str = "base",
 ) -> list[FileEntry]:
     """THE promotion protocol (shared by commit_rewrite and rebucket —
     a second copy is how the missing-token crash-retry bug happened):
@@ -734,7 +879,7 @@ def promote_staged_files(
         return FileEntry(
             path=rel, bucket=b, rows=rows,
             schema_version=schema_version,
-            ts_min=ts_min, ts_max=ts_max,
+            ts_min=ts_min, ts_max=ts_max, kind=kind,
         )
 
     from concurrent.futures import ThreadPoolExecutor

@@ -53,6 +53,27 @@ class MergeStats:
     bucket_rows: dict = field(default_factory=dict)  # per-bucket lineage
     write_secs: float = 0.0   # Spark write job (parallel phase)
     commit_secs: float = 0.0  # driver-side promote+manifest (serial phase)
+    #: "cow" (classified rewrite; insert/update split is exact) or "mor"
+    #: (delta append; insert-vs-update is unknowable without reading the
+    #: table, so upserts are reported under n_upserts and the split is 0)
+    mode: str = "cow"
+    n_upserts: int = 0
+
+
+class MorCarryoverRequired(RuntimeError):
+    """A merge-on-read apply cannot represent this batch: the table's
+    current schema has payload columns the batch does not speak (schema
+    evolution added them), and COW's carry-over semantics ("update keeps
+    the current value of columns the batch lacks") require reading the
+    current row. The engine catches this and falls back to a COW apply
+    for the batch — correctness over write amplification."""
+
+    def __init__(self, missing: list[str]):
+        super().__init__(
+            f"batch lacks table payload columns {missing}; carry-over "
+            "requires a COW merge"
+        )
+        self.missing = missing
 
 
 def reduce_batch(batch: DataFrame, extract_kernel: str = "python") -> DataFrame:
@@ -280,4 +301,135 @@ def merge_apply(
         bucket_rows=commit_stats.get("bucket_rows", {}),
         write_secs=commit_stats.get("write_secs", 0.0),
         commit_secs=commit_stats.get("commit_secs", 0.0),
+    )
+
+
+def merge_apply_mor(
+    spark: SparkSession,
+    table: LakeletTable,
+    batch: DataFrame,
+    batch_id: str,
+    extract_kernel: str = "python",
+    assume_all_buckets: bool = False,
+) -> MergeStats:
+    """Merge-on-read apply: LWW-reduce + extract the batch, then APPEND
+    the surviving row versions (tombstones included) as delta files —
+    the current table state is never read and no bucket is rewritten.
+
+    Write cost is ∝ batch size: at 10^10 events over a 100 TB table a
+    micro-batch touching every bucket still writes only its own rows,
+    where COW would rewrite the full content of each touched bucket
+    (the classic write-amplification cliff for small hot batches).
+    Readers LWW-resolve base+delta stacks (LakeletTable.read); the
+    late-event guard, delete-wins and no-resurrection rules all fall
+    out of the SAME (warc_ts, _seq) order the COW classifier uses, so
+    resolved state is bit-identical to a COW apply of the same stream
+    (A/B'd by state hash in tests/test_mor.py).
+
+    Raises :class:`MorCarryoverRequired` when the table schema has
+    payload columns the batch doesn't carry (post-evolution drift) —
+    those need COW carry-over; ``CdcEngine.apply_batch`` falls back.
+
+    Job shape: the same TWO jobs as the COW path (touched-buckets
+    distinct + the delta write with observe() metrics riding along),
+    minus the snapshot read and the merge join inside job 2.
+    """
+    from clinvar_ingest_spark.operators.merge_cogroup import batch_alias_map
+
+    m = table.manifest()
+
+    if assume_all_buckets:
+        # events ≫ buckets: the distinct would return every bucket —
+        # skip the job (MOR only uses the list for repartition sizing
+        # and lineage; no snapshot files are read either way)
+        touched = list(range(m.n_buckets))
+    else:
+        touched = [
+            r["_b"]
+            for r in batch.select(bucket_expr("url", m.n_buckets).alias("_b"))
+            .distinct()
+            .collect()
+        ]
+
+    batch_obs = Observation()
+    observed = batch.observe(
+        batch_obs,
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("warc_ts").alias("watermark"),
+    )
+    reduced = reduce_batch(observed, extract_kernel)
+
+    table_cols = [cs.name for cs in m.columns]
+    batch_payload = set(reduced.columns)
+    alias = batch_alias_map(m, list(reduced.columns))
+    lineage = {"url", "warc_ts", "_seq", "_deleted"}
+    missing = [
+        c for c in table_cols
+        if c not in lineage and alias.get(c, c) not in batch_payload
+    ]
+    if missing:
+        raise MorCarryoverRequired(missing)
+
+    is_delete = F.col("op") == "delete"
+
+    def out_col(name: str):
+        if name == "url":
+            return F.col("url")
+        if name == "warc_ts":
+            return F.col("warc_ts")
+        if name == "_seq":
+            return F.col("seq").cast("long").alias("_seq")
+        if name == "_deleted":
+            return is_delete.alias("_deleted")
+        src = alias.get(name, name)
+        bval = _batch_payload_expr(m, name, src, reduced.schema[src].dataType)
+        return F.when(~is_delete, bval).alias(name)
+
+    merge_obs = Observation()
+    new_rows = (
+        reduced.observe(
+            merge_obs,
+            F.sum(F.when(is_delete, 1).otherwise(0)).alias("deletes"),
+            F.sum(F.when(~is_delete, 1).otherwise(0)).alias("upserts"),
+        )
+        .select(*[out_col(cn) for cn in table_cols])
+        .withColumn("_bucket", bucket_expr("url", m.n_buckets))
+    )
+
+    commit_stats: dict = {}
+    sid = table.commit_delta(
+        spark,
+        new_rows,
+        touched_buckets=touched,
+        batch_id=batch_id,
+        stats_out=commit_stats,
+        expected_parent_id=m.snapshot_id,
+    )
+
+    if commit_stats.get("skipped"):
+        return MergeStats(
+            batch_id=batch_id, snapshot_id=sid, n_events=0, n_keys=0,
+            n_inserts=0, n_updates=0, n_deletes=0,
+            touched_buckets=len(touched), mode="mor",
+        )
+    bm = batch_obs.get
+    mm = merge_obs.get
+    n_up = int(mm.get("upserts") or 0)
+    n_del = int(mm.get("deletes") or 0)
+    wm = bm.get("watermark")
+    return MergeStats(
+        batch_id=batch_id,
+        snapshot_id=sid,
+        n_events=int(bm.get("n_events") or 0),
+        n_keys=n_up + n_del,
+        n_inserts=0,
+        n_updates=0,
+        n_deletes=n_del,
+        touched_buckets=len(touched),
+        watermark=wm.isoformat() if wm is not None else None,
+        bucket_rows=commit_stats.get("bucket_rows", {}),
+        write_secs=commit_stats.get("write_secs", 0.0),
+        commit_secs=commit_stats.get("commit_secs", 0.0),
+        mode="mor",
+        n_upserts=n_up,
     )

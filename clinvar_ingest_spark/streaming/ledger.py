@@ -47,6 +47,10 @@ class LineageRecord:
     watermark: str | None  # max applied warc_ts (ISO)
     wall_secs: float
     events_per_sec: float
+    #: write mode of the apply: "cow" (exact insert/update split) or
+    #: "mor" (delta append — upserts counted under n_upserts, split 0)
+    mode: str = "cow"
+    n_upserts: int = 0
     engine_version: str = ENGINE_VERSION
     applied_at: float = field(default_factory=time.time)  # excluded from determinism
     partitions: list[dict] = field(default_factory=list)  # per-bucket lineage
