@@ -1115,6 +1115,46 @@ def q_mor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wap_publish_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish on the SAME fixture changelog: the first
+    half lands on main, the second half is applied onto a staging
+    BRANCH (a named head chain over the shared content-addressed
+    manifests — Iceberg branch refs on the POSIX layout), audited
+    (main must be bit-for-bit untouched while the branch holds the
+    full state), then PUBLISHED: one atomic metadata-only fast-forward
+    through the same head-chain CAS as every data commit. The oracle is
+    the identical global-LWW SQL as cdc_replay_pages — proving the
+    staged-then-published state equals the direct serial replay, i.e.
+    WAP adds an audit window without forking semantics. The published
+    snapshot is tagged (immutable name, pinned against snapshot GC)."""
+    import tempfile
+
+    from clinvar_ingest_spark.engine import CdcEngine
+
+    clp = _ensure_cdc_fixture()
+    cl = spark.read.parquet(clp)
+    tmp = tempfile.mkdtemp(prefix="wap_replay_")
+    root = os.path.join(tmp, "pages")
+    main = CdcEngine(spark, root, n_buckets=8)
+    main.replay(cl.filter("seq < 1000"), batch_size=500)
+    pre_publish = main.table.current_snapshot_id()
+    stage = CdcEngine(spark, root, n_buckets=8, branch="audit")
+    stage.replay(cl.filter("seq >= 1000"), batch_size=500, from_seq=1000)
+    # the audit: staging writes must not have moved main
+    if main.table.current_snapshot_id() != pre_publish:
+        raise AssertionError("main chain moved during branch staging")
+    sid = stage.publish()
+    main.table.create_tag("published", sid)
+    return main.live().select(
+        "url",
+        "warc_ts",
+        "lang",
+        "props",
+        F.sha2(F.col("html"), 256).alias("html_sha"),
+        F.col("_seq").alias("last_seq"),
+    )
+
+
 def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time enrichment (round 3 continuation): each click/view
     event is joined to the latest purchase AT OR BEFORE its own
@@ -1429,6 +1469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_targets": q_link_targets,
         "cdc_replay_pages": q_cdc_replay_pages,
         "mor_replay": q_mor_replay,
+        "wap_publish_replay": q_wap_publish_replay,
         "array_struct_replay": q_array_struct_replay,
         "release_cut_join": q_release_cut_join,
         "stream_window_rollup": q_stream_window_rollup,
@@ -2116,6 +2157,10 @@ def oracle_sql() -> dict[str, str]:
     # merge-on-read replay reconverges to the identical LWW state — the
     # COW oracle IS the MOR oracle (no semantic fork between modes)
     out["mor_replay"] = out["cdc_replay_pages"]
+    # write-audit-publish: staged-on-a-branch then published equals the
+    # direct serial replay — same oracle again (the audit window adds
+    # no semantic fork)
+    out["wap_publish_replay"] = out["cdc_replay_pages"]
     return out
 
 

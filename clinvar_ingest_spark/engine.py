@@ -47,6 +47,7 @@ class CdcEngine:
         strategy: str = "cogroup",
         extract_kernel: str = "python",
         write_mode: str = "cow",
+        branch: str | None = None,
     ):
         """``strategy``: 'cogroup' (default; per-bucket applyInPandas,
         2 shuffles/batch) or 'join' (full-outer-join formulation,
@@ -66,7 +67,14 @@ class CdcEngine:
         stack; identical logical state, A/B'd by state hash). MOR
         batches that need COW carry-over semantics (post-evolution
         columns the batch doesn't speak) automatically fall back to a
-        COW apply."""
+        COW apply.
+
+        ``branch``: apply onto a named branch instead of the main chain
+        (created at the current main snapshot if absent — metadata-only
+        fork; write-audit-publish). Main stays untouched until
+        :meth:`publish`; the branch has its own exactly-once ledger, so
+        replaying the same changelog on a fresh branch re-applies from
+        the fork point rather than no-opping against main's history."""
         if strategy not in ("cogroup", "join"):
             raise ValueError(f"unknown merge strategy {strategy!r}")
         if extract_kernel not in ("python", "jvm"):
@@ -83,6 +91,12 @@ class CdcEngine:
         self.extract_kernel = extract_kernel
         self.write_mode = write_mode
         self.table = LakeletTable.create(root, PAGES_COLUMNS, n_buckets=n_buckets)
+        if branch is not None:
+            try:  # attach to a live branch (resume) or fork at current
+                self.table = self.table.for_branch(branch)
+            except FileNotFoundError:
+                self.table.create_branch(branch)
+                self.table = self.table.for_branch(branch)
         self.ledger = Ledger(self.table.ledger_dir)
 
     # ------------------------------------------------------------------ apply
@@ -140,11 +154,18 @@ class CdcEngine:
             # the ledger record). Trust the ledger.
             return None
         cur = self.table.manifest()
-        if cur.batch_id == batch_id:
+        if (
+            cur.batch_id == batch_id
+            and cur.snapshot_id != self.table.fork_snapshot_id()
+        ):
             # crash after manifest commit, before ledger append (the
             # reference's file-ingested-but-row-missing case,
             # ingest-xml-archive.yaml:206-294): the table already holds
-            # this batch — repair the ledger, never re-merge.
+            # this batch — repair the ledger, never re-merge. The fork
+            # guard: a branch's seed snapshot carries the PARENT chain's
+            # last batch_id; if the branch's first aligned batch shares
+            # that id (fork cut mid-range), the branch never applied it —
+            # fall through and merge (LWW makes any overlap a no-op).
             self.ledger.record(
                 LineageRecord(
                     batch_id=batch_id,
@@ -253,6 +274,19 @@ class CdcEngine:
             batch_id=f"compact:{m.snapshot_id[:16]}",
             expected_parent_id=m.snapshot_id,
         )
+
+    def publish(self, expected_parent_id: str | None = None) -> str:
+        """Write-audit-publish, final step for a ``branch=`` engine:
+        atomically fast-forward the MAIN chain to this branch's current
+        snapshot (metadata-only squash via the head-chain CAS —
+        idempotent, OCC-guarded; raises CommitConflictError if main
+        moved since the fork). Audit between replay() and publish() by
+        querying this engine's live()/pages() — main is untouched until
+        here, so a failed audit is just drop_branch, no rollback."""
+        if self.table.branch is None:
+            raise ValueError("publish() requires a branch engine (branch=...)")
+        main = LakeletTable.load(self.table.root)
+        return main.publish_branch(self.table.branch, expected_parent_id)
 
     def replay(
         self,

@@ -261,6 +261,17 @@ def expire_snapshots(
     chain = table.history()  # oldest readable .. current
     keep = set(chain[-keep_last:]) if keep_last > 0 else {chain[-1]}
     keep |= set(also_keep)
+    # pin every branch head and tag target: a branch stays readable and
+    # committable (its head manifest is the parent of its next commit)
+    # and a tagged snapshot stays readable, no matter how far the main
+    # chain advances. Dropping the branch / deleting the tag unpins.
+    from clinvar_ingest_spark.lakelet.manifest import latest_pointer
+
+    for b in table.branches():
+        h = latest_pointer(os.path.join(table._branches_dir(), b))
+        if h is not None:
+            keep.add(h[1]["snapshot_id"])
+    keep |= set(table.tags().values())
 
     expired = []
     for p in glob.glob(os.path.join(table.manifest_dir, "*.json")):

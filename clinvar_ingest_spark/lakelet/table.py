@@ -44,6 +44,7 @@ from clinvar_ingest_spark.lakelet.manifest import (
     FileEntry,
     Manifest,
     atomic_write_json,
+    latest_pointer,
     read_json,
     snapshot_id_for,
 )
@@ -181,11 +182,22 @@ def bucket_expr(key_col: str, n_buckets: int):
 
 
 class LakeletTable:
-    def __init__(self, root: str):
+    def __init__(self, root: str, branch: str | None = None):
         self.root = root
         self.manifest_dir = os.path.join(root, "manifests")
         self.data_dir = os.path.join(root, "data")
-        self.ledger_dir = os.path.join(root, "ledger")
+        self.branch = branch
+        if branch is None:
+            # main chain: heads + current cache live next to the manifests
+            self.head_dir = self.manifest_dir
+            self.ledger_dir = os.path.join(root, "ledger")
+        else:
+            # a branch is ONLY its own head chain (+ exactly-once ledger):
+            # manifest JSONs are content-addressed and shared with main,
+            # data files are shared — branching is a metadata-only fork
+            # (Iceberg branch refs; the WAP staging pattern)
+            self.head_dir = os.path.join(self.manifest_dir, "branches", branch)
+            self.ledger_dir = os.path.join(root, "ledger", "branches", branch)
 
     # ------------------------------------------------------------------ setup
 
@@ -230,7 +242,7 @@ class LakeletTable:
     # -------------------------------------------------------------- manifests
 
     def _current_path(self) -> str:
-        return os.path.join(self.manifest_dir, "_current.json")
+        return os.path.join(self.head_dir, "_current.json")
 
     def _manifest_path(self, sid: str) -> str:
         return os.path.join(self.manifest_dir, f"{sid}.json")
@@ -270,7 +282,7 @@ class LakeletTable:
     # read cache (a crash between link and cache update loses nothing).
 
     def _head_path(self, seq: int) -> str:
-        return os.path.join(self.manifest_dir, f"head-{seq:012d}.json")
+        return os.path.join(self.head_dir, f"head-{seq:012d}.json")
 
     def _link_head(self, seq: int, sid: str) -> None:
         """Atomically create the head pointer for ``seq`` (the CAS).
@@ -278,7 +290,7 @@ class LakeletTable:
         from clinvar_ingest_spark.lakelet.manifest import link_pointer
 
         link_pointer(
-            self.manifest_dir,
+            self.head_dir,
             f"head-{seq:012d}.json",
             {"snapshot_id": sid, "commit_seq": seq},
         )
@@ -288,7 +300,7 @@ class LakeletTable:
         table without a head chain)."""
         from clinvar_ingest_spark.lakelet.manifest import latest_pointer
 
-        h = latest_pointer(self.manifest_dir)
+        h = latest_pointer(self.head_dir)
         return None if h is None else (h[0], h[1]["snapshot_id"])
 
     def _is_committed_child(self, sid: str, parent: Manifest) -> bool:
@@ -351,6 +363,227 @@ class LakeletTable:
     @property
     def key_col(self) -> str:
         return self.manifest().summary.get("key_col", "url")
+
+    # ------------------------------------------------------- branches & tags
+    #
+    # A branch is a named head chain (head-*.json + _current cache) in
+    # manifests/branches/<name>/ over the SAME content-addressed
+    # manifest store and data directory — creating one is two tiny
+    # metadata files, and every commit path (COW rewrite, MOR delta,
+    # schema evolution) works on a branch unchanged because commits
+    # only ever touch the instance's head chain. This is Iceberg's
+    # branch ref re-expressed for the POSIX manifest layout, and the
+    # substrate for write-audit-publish: ingest onto a staging branch,
+    # audit the branch snapshot, then publish atomically to main.
+    # A tag is an immutable named pointer to one snapshot id
+    # (manifests/tags/<name>.json, created with the same os.link CAS —
+    # re-tagging a taken name raises). expire_snapshots pins branch
+    # heads and tag targets, so neither can be GC'd out from under a
+    # reader.
+
+    def _branches_dir(self) -> str:
+        return os.path.join(self.manifest_dir, "branches")
+
+    def _tags_dir(self) -> str:
+        return os.path.join(self.manifest_dir, "tags")
+
+    def branches(self) -> list[str]:
+        try:
+            return sorted(
+                d for d in os.listdir(self._branches_dir())
+                if os.path.isdir(os.path.join(self._branches_dir(), d))
+            )
+        except FileNotFoundError:
+            return []
+
+    def create_branch(
+        self, name: str, from_snapshot_id: str | None = None
+    ) -> str:
+        """Fork a branch at ``from_snapshot_id`` (default: this chain's
+        current snapshot). Metadata-only: seeds the branch head chain at
+        the source snapshot's commit_seq, so the branch's first commit
+        CASes the next slot in ITS OWN chain. Idempotent when the branch
+        already points at the requested snapshot; raises FileExistsError
+        on a live branch at a different snapshot (drop it first)."""
+        if not name or "/" in name or name.startswith(("_", "head-")):
+            raise ValueError(f"invalid branch name {name!r}")
+        src = self.manifest(from_snapshot_id)
+        seq = int(src.summary.get("commit_seq", 0))
+        bdir = os.path.join(self._branches_dir(), name)
+        existing = latest_pointer(bdir)
+        if existing is not None:
+            if existing[1]["snapshot_id"] == src.snapshot_id:
+                return src.snapshot_id
+            raise FileExistsError(
+                f"branch {name!r} exists at {existing[1]['snapshot_id']}"
+            )
+        from clinvar_ingest_spark.lakelet.manifest import link_pointer
+
+        try:
+            link_pointer(
+                bdir,
+                f"head-{seq:012d}.json",
+                {"snapshot_id": src.snapshot_id, "commit_seq": seq},
+            )
+        except FileExistsError:
+            # concurrent create at the same snapshot: benign
+            now = latest_pointer(bdir)
+            if now is None or now[1]["snapshot_id"] != src.snapshot_id:
+                raise
+        atomic_write_json(
+            os.path.join(bdir, "_current.json"),
+            {"snapshot_id": src.snapshot_id},
+        )
+        return src.snapshot_id
+
+    def fork_snapshot_id(self) -> str | None:
+        """The snapshot this branch was forked at (the seed head — the
+        LOWEST pointer in the branch chain; branch commits only ever add
+        higher slots). None on the main chain. The fork snapshot was
+        committed by the PARENT chain: idempotency heuristics keyed on
+        "the current head's batch_id" must not treat it as a commit this
+        chain made (see CdcEngine._apply_batch_once crash repair)."""
+        if self.branch is None:
+            return None
+        best = None
+        for n in os.listdir(self.head_dir):
+            if n.startswith("head-") and n.endswith(".json"):
+                try:
+                    seq = int(n[5:-5])
+                except ValueError:
+                    continue
+                if best is None or seq < best:
+                    best = seq
+        if best is None:
+            return None
+        return read_json(
+            os.path.join(self.head_dir, f"head-{best:012d}.json")
+        )["snapshot_id"]
+
+    def for_branch(self, name: str) -> "LakeletTable":
+        """A view of this table whose commits and current-snapshot reads
+        go through branch ``name``'s head chain (shared manifests +
+        data). Reads by explicit snapshot_id are chain-agnostic."""
+        bdir = os.path.join(self._branches_dir(), name)
+        if latest_pointer(bdir) is None:
+            raise FileNotFoundError(f"no branch {name!r} at {self.root}")
+        return LakeletTable(self.root, branch=name)
+
+    def drop_branch(self, name: str) -> None:
+        """Remove a branch's head chain (and its exactly-once ledger).
+        Snapshots only the branch referenced become unpinned — the next
+        expire_snapshots sweep GCs their manifests and any data files no
+        surviving manifest references."""
+        _rmtree(os.path.join(self._branches_dir(), name))
+        _rmtree(os.path.join(self.root, "ledger", "branches", name))
+
+    def publish_branch(
+        self, name: str, expected_parent_id: str | None = None
+    ) -> str:
+        """Write-audit-publish: atomically make this chain's state equal
+        to branch ``name``'s current snapshot (same file list, same
+        schema — a metadata-only squash commit via the normal head-chain
+        CAS; deterministic snapshot id ⇒ idempotent re-publish).
+
+        Fast-forward only: this chain's current snapshot must be an
+        ancestor of (or equal to) the branch head — i.e. nothing landed
+        here since the branch forked. Anything else raises
+        CommitConflictError: re-create the branch from current and
+        re-apply (re-audit) rather than silently stomping commits the
+        audit never saw. Returns the published snapshot id."""
+        bm = self.for_branch(name).manifest()
+        m = self.manifest()
+        if expected_parent_id is not None and m.snapshot_id != expected_parent_id:
+            raise CommitConflictError(
+                f"planned against {expected_parent_id}, chain moved to "
+                f"{m.snapshot_id}"
+            )
+        if bm.snapshot_id == m.snapshot_id:
+            return m.snapshot_id  # nothing to publish
+        batch_id = f"publish:{name}:{bm.snapshot_id}"
+        if m.batch_id == batch_id:
+            # this exact branch state is already the chain head —
+            # idempotent re-publish after a success
+            return m.snapshot_id
+        sid = snapshot_id_for(m.snapshot_id, batch_id, bm.schema_version)
+        if self._is_committed_child(sid, m):
+            return sid
+        # fast-forward check: walk the branch's parent chain back to the
+        # target head (bounded by the branch's commit count)
+        anc = bm.snapshot_id
+        while anc is not None and anc != m.snapshot_id:
+            anc = self.manifest(anc).parent_id if self.has_snapshot(anc) else None
+        if anc != m.snapshot_id:
+            raise CommitConflictError(
+                f"branch {name!r} does not descend from current snapshot "
+                f"{m.snapshot_id} — this chain moved since the fork; "
+                "re-branch from current and re-apply"
+            )
+        nm = Manifest(
+            snapshot_id=sid,
+            parent_id=m.snapshot_id,
+            batch_id=batch_id,
+            schema_version=bm.schema_version,
+            n_buckets=bm.n_buckets,
+            schemas=bm.schemas,
+            files=bm.files,
+            summary=dict(bm.summary),
+        )
+        # no cleanup_paths: the data files belong to the branch's
+        # committed snapshots — losing the CAS must never delete them
+        self._commit_manifest(nm, m)
+        return sid
+
+    def create_tag(self, name: str, snapshot_id: str | None = None) -> str:
+        """Immutably name a snapshot (audit labels, release aliases).
+        Tags pin their target against expire_snapshots. Re-tagging a
+        taken name raises FileExistsError unless it already points at
+        the same snapshot (idempotent)."""
+        if not name or "/" in name or name.startswith("_"):
+            raise ValueError(f"invalid tag name {name!r}")
+        sid = snapshot_id or self.current_snapshot_id()
+        if not self.has_snapshot(sid):
+            raise FileNotFoundError(f"no snapshot {sid} to tag")
+        from clinvar_ingest_spark.lakelet.manifest import link_pointer
+
+        try:
+            link_pointer(self._tags_dir(), f"{name}.json", {"snapshot_id": sid})
+        except FileExistsError:
+            if self.resolve_ref(name) != sid:
+                raise
+        return sid
+
+    def delete_tag(self, name: str) -> None:
+        import contextlib
+
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(os.path.join(self._tags_dir(), f"{name}.json"))
+
+    def tags(self) -> dict[str, str]:
+        out = {}
+        try:
+            names = os.listdir(self._tags_dir())
+        except FileNotFoundError:
+            return out
+        for n in names:
+            if n.endswith(".json"):
+                out[n[:-5]] = read_json(os.path.join(self._tags_dir(), n))[
+                    "snapshot_id"
+                ]
+        return out
+
+    def resolve_ref(self, ref: str) -> str:
+        """Snapshot id for a ref: a tag name, a branch name, or a raw
+        snapshot id (checked in that order)."""
+        tp = os.path.join(self._tags_dir(), f"{ref}.json")
+        if os.path.exists(tp):
+            return read_json(tp)["snapshot_id"]
+        h = latest_pointer(os.path.join(self._branches_dir(), ref))
+        if h is not None:
+            return h[1]["snapshot_id"]
+        if self.has_snapshot(ref):
+            return ref
+        raise FileNotFoundError(f"no tag/branch/snapshot named {ref!r}")
 
     # ------------------------------------------------------------------ reads
 
