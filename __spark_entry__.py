@@ -1115,6 +1115,53 @@ def q_mor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_point_lookup_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-planned point lookups on an UNCOMPACTED merge-on-read
+    table: the fixture changelog applied as 8 delta batches (deep delta
+    stack per bucket), then the 10 lexicographically-first urls looked
+    up one by one — each lookup prunes to the key's hash bucket via the
+    manifest and skips delta files via per-file key BLOOM filters
+    (lakelet/bloom.py; Iceberg file-stats/puffin analogue — the
+    reference leans on BigQuery clustered tables). The query asserts
+    the blooms actually skipped files (the metadata plan, not just the
+    answer) and the oracle recomputes the same 10 keys' LWW winners in
+    DuckDB — a bloom false negative (the only dangerous failure) would
+    show up as a missing row."""
+    import tempfile
+    from functools import reduce
+
+    from clinvar_ingest_spark.engine import CdcEngine
+
+    clp = _ensure_cdc_fixture()
+    cl = spark.read.parquet(clp)
+    tmp = tempfile.mkdtemp(prefix="point_lookup_")
+    eng = CdcEngine(
+        spark, os.path.join(tmp, "pages"), n_buckets=8, write_mode="mor"
+    )
+    eng.replay(cl, batch_size=250)
+    urls = [
+        r["url"]
+        for r in cl.select("url").distinct().orderBy("url").limit(10).collect()
+    ]
+    parts, skipped = [], 0
+    for u in urls:
+        stats: dict = {}
+        parts.append(eng.lookup(u, stats_out=stats))
+        skipped += stats["files_skipped"]
+    if skipped == 0:
+        raise AssertionError(
+            "bloom filters skipped zero delta files across 10 lookups"
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts).select(
+        "url",
+        "warc_ts",
+        "lang",
+        "props",
+        F.sha2(F.col("html"), 256).alias("html_sha"),
+        F.col("_seq").alias("last_seq"),
+    )
+
+
 def q_wap_publish_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-audit-publish on the SAME fixture changelog: the first
     half lands on main, the second half is applied onto a staging
@@ -1470,6 +1517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_pages": q_cdc_replay_pages,
         "mor_replay": q_mor_replay,
         "wap_publish_replay": q_wap_publish_replay,
+        "point_lookup_pages": q_point_lookup_pages,
         "array_struct_replay": q_array_struct_replay,
         "release_cut_join": q_release_cut_join,
         "stream_window_rollup": q_stream_window_rollup,
@@ -2161,6 +2209,14 @@ def oracle_sql() -> dict[str, str]:
     # direct serial replay — same oracle again (the audit window adds
     # no semantic fork)
     out["wap_publish_replay"] = out["cdc_replay_pages"]
+    # point lookups = the replay oracle restricted to the 10 first urls;
+    # a bloom false negative would surface as a missing row here
+    out["point_lookup_pages"] = out["cdc_replay_pages"].replace(
+        "WHERE rn = 1 AND op <> 'delete'",
+        "WHERE rn = 1 AND op <> 'delete' AND url IN ("
+        f"  SELECT DISTINCT url FROM read_parquet('{_ensure_cdc_fixture()}')"
+        "   ORDER BY url LIMIT 10)",
+    )
     return out
 
 

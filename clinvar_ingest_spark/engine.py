@@ -352,26 +352,20 @@ class CdcEngine:
         tombstones filtered)."""
         return self.live(snapshot_id).select("url", "warc_ts", "html", "text", "lang")
 
-    def lookup(self, url: str, snapshot_id: str | None = None) -> DataFrame:
-        """Point lookup: read ONLY the key's hash bucket (manifest-level
-        pruning — one bucket's files regardless of table size), then
-        filter. The key-partitioned layout's answer to the reference's
-        per-id API reads."""
-        m = self.table.manifest(snapshot_id)
-        b = (
-            self.spark.range(1)
-            .select(
-                F.pmod(F.xxhash64(F.lit(url)), F.lit(m.n_buckets))
-                .cast("int")
-                .alias("b")
-            )
-            .collect()[0]["b"]
-        )
-        return (
-            self.table.read(self.spark, snapshot_id, buckets=[b])
-            .filter(F.col(self.table.key_col) == url)
-            .filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
-        )
+    def lookup(
+        self,
+        url: str,
+        snapshot_id: str | None = None,
+        stats_out: dict | None = None,
+    ) -> DataFrame:
+        """Point lookup: planned from manifest metadata alone — the
+        key's hash bucket only, merge-on-read delta files skipped via
+        per-file key bloom filters, key predicate pushed into the scan
+        (see LakeletTable.read_key). The key-partitioned layout's
+        answer to the reference's per-id API reads."""
+        return self.table.read_key(
+            self.spark, url, snapshot_id, stats_out=stats_out
+        ).filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
 
     # ------------------------------------------------------------------- diff
 

@@ -91,9 +91,16 @@ class FileEntry:
     #: delta ROW carries the full new row version (or tombstone), so no
     #: separate position/equality-delete files are needed.
     kind: str = "base"
+    #: base64 bloom filter over the file's key column (delta files only —
+    #: see lakelet/bloom.py): point lookups skip delta files whose bloom
+    #: excludes the key. None = never skipped.
+    key_bloom: str | None = None
 
     def to_json(self) -> dict:
-        return asdict(self)
+        d = asdict(self)
+        if d.get("key_bloom") is None:
+            d.pop("key_bloom", None)  # keep base-file entries compact
+        return d
 
     @staticmethod
     def from_json(d: dict) -> "FileEntry":

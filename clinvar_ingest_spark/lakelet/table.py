@@ -633,7 +633,18 @@ class LakeletTable:
             files = select_files(in_buckets, None, ts_not_before, ts_not_after)
         if not files:
             return spark.createDataFrame([], schema=target_schema)
+        out = self._read_entries(spark, m, files)
+        if resolve and delta_buckets:
+            out = self._resolve_lww(out, m)
+        return out
 
+    def _read_entries(
+        self, spark: SparkSession, m: Manifest, files: Sequence[FileEntry]
+    ) -> DataFrame:
+        """Raw (unresolved) union of the given file entries, presented in
+        ``m``'s current schema (col-id name-mapping + widen casts per
+        schema-version group)."""
+        target_cols = m.columns
         by_ver: dict[int, list[FileEntry]] = {}
         for f in files:
             by_ver.setdefault(f.schema_version, []).append(f)
@@ -646,7 +657,66 @@ class LakeletTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        if resolve and delta_buckets:
+        return out
+
+    def read_key(
+        self,
+        spark: SparkSession,
+        key: str,
+        snapshot_id: str | None = None,
+        bucket: int | None = None,
+        stats_out: dict | None = None,
+    ) -> DataFrame:
+        """Point read: all row versions for one key, planned from
+        metadata alone — the manifest prunes to the key's hash bucket,
+        then per-file key BLOOM filters skip the merge-on-read delta
+        files that cannot contain the key (lakelet/bloom.py; base files
+        are always read — they hold the key's current row if any). The
+        key equality filter lands in the parquet scan (PushedFilters),
+        and LWW resolution — when any surviving delta file remains —
+        runs AFTER the filter, over this key's few row versions only.
+
+        On a fully compacted / pure-COW snapshot this is: one bucket,
+        one file, one pushed-down point predicate — O(1) in table size.
+        Under MOR it opens 1 + (deltas that saw the key) + fpp·deltas
+        files instead of every delta in the bucket.
+
+        ``bucket``: pass the precomputed hash bucket to skip the one-row
+        Spark job that computes ``xxhash64(key) % n_buckets`` (callers
+        looping over many keys compute buckets in one job).
+        ``stats_out``: observability — files considered/read/skipped.
+        """
+        from clinvar_ingest_spark.lakelet.bloom import bloom_maybe_contains
+
+        m = self.manifest(snapshot_id)
+        key_col = m.summary.get("key_col", "url")
+        if bucket is None:
+            bucket = (
+                spark.range(1)
+                .select(
+                    F.pmod(F.xxhash64(F.lit(key)), F.lit(m.n_buckets))
+                    .cast("int")
+                    .alias("b")
+                )
+                .collect()[0]["b"]
+            )
+        in_bucket = [f for f in m.files if f.bucket == int(bucket)]
+        files = [
+            f
+            for f in in_bucket
+            if f.kind != "delta"
+            or f.key_bloom is None
+            or bloom_maybe_contains(f.key_bloom, key)
+        ]
+        if stats_out is not None:
+            stats_out["bucket"] = int(bucket)
+            stats_out["files_in_bucket"] = len(in_bucket)
+            stats_out["files_read"] = len(files)
+            stats_out["files_skipped"] = len(in_bucket) - len(files)
+        if not files:
+            return spark.createDataFrame([], schema=spark_schema(m.columns))
+        out = self._read_entries(spark, m, files).filter(F.col(key_col) == key)
+        if any(f.kind == "delta" for f in files):
             out = self._resolve_lww(out, m)
         return out
 
@@ -932,7 +1002,8 @@ class LakeletTable:
 
         t_write_done = _time.time()
         new_entries = promote_staged_files(
-            self.root, staging, sid, token, m.schema_version, kind="delta"
+            self.root, staging, sid, token, m.schema_version, kind="delta",
+            bloom_key=m.summary.get("key_col", "url"),
         )
         _rmtree(staging)
 
@@ -1087,13 +1158,18 @@ def promote_staged_files(
     token: str,
     schema_version: int,
     kind: str = "base",
+    bloom_key: str | None = None,
 ) -> list[FileEntry]:
     """THE promotion protocol (shared by commit_rewrite and rebucket —
     a second copy is how the missing-token crash-retry bug happened):
     move every staged ``_bucket=*`` part into ``data/`` under a
     sid+per-writer-token name (so no retry or racer can ever overwrite
     a previously promoted file), read footer stats, and return the
-    FileEntry list for the manifest. Parallelized past 8 files."""
+    FileEntry list for the manifest. Parallelized past 8 files.
+
+    ``bloom_key`` (delta commits): also read that one column of each
+    staged file and attach a key bloom filter to its entry — cost ∝ the
+    batch's own rows, parallel across files, never ∝ table size."""
     data_dir = os.path.join(table_root, "data")
     os.makedirs(data_dir, exist_ok=True)
     promotions: list[tuple[str, str, int]] = []  # (src, rel, bucket)
@@ -1109,10 +1185,18 @@ def promote_staged_files(
         dst = os.path.join(table_root, rel)
         os.replace(src, dst)
         rows, ts_min, ts_max = _parquet_stats(dst)
+        key_bloom = None
+        if bloom_key is not None:
+            import pyarrow.parquet as pq
+
+            from clinvar_ingest_spark.lakelet.bloom import bloom_build
+
+            col = pq.read_table(dst, columns=[bloom_key]).column(0)
+            key_bloom = bloom_build(col.to_pylist())
         return FileEntry(
             path=rel, bucket=b, rows=rows,
             schema_version=schema_version,
-            ts_min=ts_min, ts_max=ts_max, kind=kind,
+            ts_min=ts_min, ts_max=ts_max, kind=kind, key_bloom=key_bloom,
         )
 
     from concurrent.futures import ThreadPoolExecutor
