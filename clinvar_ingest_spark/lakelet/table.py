@@ -585,6 +585,89 @@ class LakeletTable:
             return ref
         raise FileNotFoundError(f"no tag/branch/snapshot named {ref!r}")
 
+    # -------------------------------------------------- metadata tables
+
+    def snapshot_as_of(self, ts: float) -> str:
+        """Snapshot id current at wall-clock ``ts`` (epoch seconds) —
+        the latest reachable snapshot with ``committed_at <= ts``
+        (Iceberg's FOR SYSTEM_TIME AS OF). Raises if the chain's
+        readable history starts after ``ts`` (expired past)."""
+        best = None
+        for sid in self.history():  # oldest .. current
+            at = self.manifest(sid).summary.get("committed_at")
+            if at is not None and at <= ts:
+                best = sid
+        if best is None:
+            raise FileNotFoundError(
+                f"no snapshot committed at or before {ts} is still readable"
+            )
+        return best
+
+    def snapshots_df(self, spark: SparkSession) -> DataFrame:
+        """Metadata table: one row per reachable snapshot on THIS chain
+        (Iceberg's ``table.snapshots``). Driver-side: the manifest store
+        is metadata, bounded by retention — never a data scan."""
+        rows = []
+        for sid in self.history():
+            m = self.manifest(sid)
+            rows.append((
+                m.snapshot_id, m.parent_id, m.batch_id,
+                int(m.summary.get("commit_seq", 0)), m.schema_version,
+                m.n_buckets, int(m.summary.get("total_rows", 0)),
+                len(m.files),
+                sum(1 for f in m.files if f.kind == "delta"),
+                float(m.summary["committed_at"])
+                if m.summary.get("committed_at") is not None else None,
+            ))
+        return spark.createDataFrame(
+            rows,
+            schema=(
+                "snapshot_id string, parent_id string, batch_id string, "
+                "commit_seq long, schema_version int, n_buckets int, "
+                "total_rows long, n_files int, n_delta_files int, "
+                "committed_at double"
+            ),
+        )
+
+    def files_df(
+        self, spark: SparkSession, snapshot_id: str | None = None
+    ) -> DataFrame:
+        """Metadata table: one row per data file of a snapshot
+        (Iceberg's ``table.files``) — the skipping stats exactly as the
+        planner sees them."""
+        m = self.manifest(snapshot_id)
+        rows = [
+            (
+                f.path, f.bucket, f.rows, f.schema_version, f.kind,
+                f.ts_min, f.ts_max, f.key_bloom is not None,
+            )
+            for f in m.files
+        ]
+        return spark.createDataFrame(
+            rows,
+            schema=(
+                "path string, bucket int, rows long, schema_version int, "
+                "kind string, ts_min string, ts_max string, "
+                "has_key_bloom boolean"
+            ),
+        )
+
+    def refs_df(self, spark: SparkSession) -> DataFrame:
+        """Metadata table: every named ref — this chain's head, every
+        branch head, every tag (Iceberg's ``table.refs``)."""
+        rows = [("main", "branch", self.manifest().snapshot_id
+                 if self.branch is None else LakeletTable(self.root)
+                 .manifest().snapshot_id)]
+        for b in self.branches():
+            h = latest_pointer(os.path.join(self._branches_dir(), b))
+            if h is not None:
+                rows.append((b, "branch", h[1]["snapshot_id"]))
+        for name, sid in sorted(self.tags().items()):
+            rows.append((name, "tag", sid))
+        return spark.createDataFrame(
+            rows, schema="name string, type string, snapshot_id string"
+        )
+
     # ------------------------------------------------------------------ reads
 
     def read(
@@ -791,9 +874,17 @@ class LakeletTable:
         commit counts as success; otherwise the orphan manifest and any
         ``cleanup_paths`` data files are removed and
         CommitConflictError is raised for the caller to re-plan."""
+        import time as _time
+
         seq = int(parent.summary.get("commit_seq", 0)) + 1
         nm.summary = dict(nm.summary)
         nm.summary["commit_seq"] = seq
+        # wall-clock commit time: AS-OF-timestamp travel + metadata
+        # tables. NOT part of determinism (snapshot ids derive from
+        # parent/batch/schema only; same-batch racers may stamp
+        # different times — whichever writer wins the create-if-absent
+        # manifest file defines the recorded time)
+        nm.summary["committed_at"] = round(_time.time(), 6)
         wrote_manifest = self._write_manifest(nm)
         try:
             self._link_head(seq, nm.snapshot_id)

@@ -49,6 +49,19 @@ def main(argv: list[str] | None = None) -> int:
                    help="with --tail: keep running instead of drain-and-stop")
     p.add_argument("--master", default="submit",
                    help="Spark master; default 'submit' defers to spark-submit")
+    p.add_argument("--write-mode", choices=("cow", "mor"), default="cow",
+                   help="cow: rewrite touched buckets per batch; mor: "
+                        "append delta files (apply cost ∝ batch size), "
+                        "reads LWW-resolve until compaction")
+    p.add_argument("--compact-every", type=int, default=None,
+                   help="with --write-mode mor: fold deltas every K "
+                        "applied batches and once at the end")
+    p.add_argument("--branch", default=None,
+                   help="stage commits on this branch (write-audit-"
+                        "publish); main is untouched until --publish")
+    p.add_argument("--publish", action="store_true",
+                   help="with --branch: publish the branch to main after "
+                        "a successful apply (CAS fast-forward)")
     p.add_argument("--bench-json", action="store_true",
                    help="batch replay only: warm up through the same code "
                         "path, time the replay, and print ONE summary JSON "
@@ -57,12 +70,17 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
     if args.tail and not args.checkpoint:
         p.error("--tail requires --checkpoint")
+    if args.publish and not args.branch:
+        p.error("--publish requires --branch")
 
     from clinvar_ingest_spark.engine import CdcEngine
     from clinvar_ingest_spark.session import get_spark
 
     spark = get_spark(app_name="cdc_apply", master=args.master)
-    engine = CdcEngine(spark, args.table, n_buckets=args.buckets)
+    engine = CdcEngine(
+        spark, args.table, n_buckets=args.buckets,
+        write_mode=args.write_mode, branch=args.branch,
+    )
 
     if args.changelog:
         changelog = spark.read.parquet(args.changelog)
@@ -88,12 +106,20 @@ def main(argv: list[str] | None = None) -> int:
                 "state_hash": engine.state_hash(),
             }))
             return 0
-        stats = engine.replay(changelog, batch_size=args.batch_size)
+        stats = engine.replay(
+            changelog, batch_size=args.batch_size,
+            compact_every=args.compact_every,
+        )
         for s in stats:
             print(json.dumps(asdict(s)))
+        published = None
+        if args.publish:
+            published = engine.publish()
         print(json.dumps({
             "table": args.table,
+            "branch": args.branch,
             "snapshot": engine.table.current_snapshot_id(),
+            "published": published,
             "rows": engine.pages().count(),
             "batches_applied": len(stats),
         }))
