@@ -1440,6 +1440,56 @@ def q_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snaps.select("commit_seq", "total_rows").join(live_df, "commit_seq")
 
 
+def q_quarantine_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing under the oracle gate (round 3
+    continuation): the fixture changelog is deterministically poisoned
+    (null keys / null timestamps / unknown op codes on fixed seq
+    classes), replayed with validation on, and the result is read
+    ENTIRELY from engine state — per-reason quarantine counts from the
+    dead-letter store plus the final live row count — proving the
+    rules' CASE precedence (an event violating several rules is
+    counted once), the idempotent quarantine write, and that poisoned
+    events were EXCLUDED from the merge (live count equals LWW over
+    the surviving events only). The reference's posture is
+    fail-the-whole-run on a malformed record
+    (ingest-xml-archive.yaml:206-294 repair path); at stream scale the
+    engine routes poison aside instead of stopping."""
+    import tempfile
+
+    from clinvar_ingest_spark.engine import CdcEngine
+
+    clp = _ensure_cdc_fixture()
+    poisoned = (
+        spark.read.parquet(clp)
+        .withColumn(
+            "url",
+            F.when(F.col("seq") % 97 == 13, F.lit(None)).otherwise(F.col("url")),
+        )
+        .withColumn(
+            "warc_ts",
+            F.when(F.col("seq") % 101 == 7, F.lit(None)).otherwise(
+                F.col("warc_ts")
+            ),
+        )
+        .withColumn(
+            "op",
+            F.when(F.col("seq") % 89 == 11, F.lit("noop")).otherwise(F.col("op")),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="quarantine_")
+    eng = CdcEngine(
+        spark, os.path.join(tmp, "pages"), n_buckets=8, validate=True
+    )
+    eng.replay(poisoned, batch_size=500)
+    per_reason = (
+        eng.quarantined().groupBy("reason").agg(F.count("*").alias("n"))
+    )
+    live = eng.live().agg(
+        F.lit("_live").alias("reason"), F.count("*").alias("n")
+    )
+    return per_reason.unionByName(live)
+
+
 def q_corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact discrete length quantiles per language (round 3
     continuation): the corpus-stats sheet every dataset card carries
@@ -1562,6 +1612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index_replay": q_inverted_index_replay,
         "table_changes": q_table_changes,
         "snapshot_history": q_snapshot_history,
+        "quarantine_routing": q_quarantine_routing,
         "corpus_quantiles": q_corpus_quantiles,
         "dataset_mixture": q_dataset_mixture,
     }
@@ -2123,6 +2174,40 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS live_rows
         FROM ranked WHERE rn = 1
         GROUP BY commit_seq
+    """
+    out["quarantine_routing"] = f"""
+        -- mirror the deterministic poisoning, classify with the same
+        -- CASE precedence, and recompute live = LWW over survivors
+        WITH p AS (
+          SELECT seq, op0 AS op, url, warc_ts,
+                 CASE WHEN url IS NULL THEN 'null_key'
+                      WHEN warc_ts IS NULL THEN 'null_ts'
+                      WHEN op0 IS NULL OR op0 NOT IN
+                           ('insert', 'update', 'delete') THEN 'bad_op'
+                 END AS reason
+          FROM (
+            SELECT seq,
+                   CASE WHEN seq % 97 = 13 THEN NULL ELSE url END AS url,
+                   CASE WHEN seq % 101 = 7 THEN NULL
+                        ELSE warc_ts END AS warc_ts,
+                   CASE WHEN seq % 89 = 11 THEN 'noop' ELSE op END AS op0
+            FROM read_parquet('{_ensure_cdc_fixture()}')
+          )
+        ),
+        dead AS (
+          SELECT reason, CAST(count(*) AS BIGINT) AS n
+          FROM p WHERE reason IS NOT NULL GROUP BY reason
+        ),
+        live AS (
+          SELECT '_live' AS reason, CAST(count(*) AS BIGINT) AS n FROM (
+            SELECT url, op, row_number() OVER (
+                     PARTITION BY url
+                     ORDER BY warc_ts DESC, seq DESC) AS rn
+            FROM p WHERE reason IS NULL
+          ) WHERE rn = 1 AND op <> 'delete'
+        )
+        SELECT reason, n FROM dead
+        UNION ALL SELECT reason, n FROM live
     """
     out["table_changes"] = f"""
         -- both LWW states recomputed in SQL, classified with NULL-safe

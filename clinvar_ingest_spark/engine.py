@@ -48,6 +48,7 @@ class CdcEngine:
         extract_kernel: str = "python",
         write_mode: str = "cow",
         branch: str | None = None,
+        validate: bool | list = False,
     ):
         """``strategy``: 'cogroup' (default; per-bucket applyInPandas,
         2 shuffles/batch) or 'join' (full-outer-join formulation,
@@ -74,7 +75,14 @@ class CdcEngine:
         fork; write-audit-publish). Main stays untouched until
         :meth:`publish`; the branch has its own exactly-once ledger, so
         replaying the same changelog on a fresh branch re-applies from
-        the fork point rather than no-opping against main's history."""
+        the fork point rather than no-opping against main's history.
+
+        ``validate``: True enables dead-letter routing with the default
+        rules (null key / null warc_ts / unknown op), or pass an ordered
+        list of :class:`~clinvar_ingest_spark.operators.validate.
+        ValidationRule`. Violating events are quarantined (idempotently,
+        inside the exactly-once envelope) instead of poisoning the
+        merge; read them back with :meth:`quarantined`."""
         if strategy not in ("cogroup", "join"):
             raise ValueError(f"unknown merge strategy {strategy!r}")
         if extract_kernel not in ("python", "jvm"):
@@ -98,6 +106,25 @@ class CdcEngine:
                 self.table.create_branch(branch)
                 self.table = self.table.for_branch(branch)
         self.ledger = Ledger(self.table.ledger_dir)
+        self._rules = None
+        self.quarantine = None
+        if validate:
+            from clinvar_ingest_spark.operators.validate import (
+                Quarantine,
+                default_rules,
+            )
+
+            self._rules = (
+                default_rules(self.table.key_col)
+                if validate is True
+                else list(validate)
+            )
+            qdir = (
+                os.path.join(root, "quarantine")
+                if branch is None
+                else os.path.join(root, "quarantine", "branches", branch)
+            )
+            self.quarantine = Quarantine(qdir)
 
     # ------------------------------------------------------------------ apply
 
@@ -178,6 +205,22 @@ class CdcEngine:
                 )
             )
             return None
+        n_quarantined = 0
+        if self._rules is not None:
+            # dead-letter routing INSIDE the exactly-once envelope:
+            # written before the table commit (crash-rerun overwrites
+            # the same deterministic content), skipped with the batch
+            # when the ledger short-circuits above
+            from clinvar_ingest_spark.operators.validate import (
+                TAG_COL,
+                tag_invalid,
+            )
+
+            tagged = tag_invalid(batch, self._rules)
+            n_quarantined = self.quarantine.write_batch(
+                tagged.filter(F.col(TAG_COL).isNotNull()), batch_id
+            )
+            batch = tagged.filter(F.col(TAG_COL).isNull()).drop(TAG_COL)
         t0 = time.time()
         stats = None
         if self.write_mode == "mor":
@@ -227,6 +270,7 @@ class CdcEngine:
                 events_per_sec=round(stats.n_events / wall, 2) if wall > 0 else 0.0,
                 mode=stats.mode,
                 n_upserts=stats.n_upserts,
+                n_quarantined=n_quarantined,
                 partitions=[
                     {"bucket": b, "rows": r}
                     for b, r in sorted(stats.bucket_rows.items())
@@ -335,6 +379,12 @@ class CdcEngine:
         return out
 
     # ------------------------------------------------------------------ reads
+
+    def quarantined(self) -> DataFrame | None:
+        """Every dead-lettered event (original columns + ``reason`` +
+        ``batch_id``) across all applied batches; None when validation
+        is off or nothing was ever quarantined."""
+        return None if self.quarantine is None else self.quarantine.read(self.spark)
 
     def read(self, snapshot_id: str | None = None) -> DataFrame:
         """Raw snapshot rows including lineage columns and soft-delete

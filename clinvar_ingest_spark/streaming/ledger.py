@@ -51,6 +51,9 @@ class LineageRecord:
     #: "mor" (delta append — upserts counted under n_upserts, split 0)
     mode: str = "cow"
     n_upserts: int = 0
+    #: events dead-lettered by validation rules BEFORE the merge (0
+    #: when validation is off); they are excluded from n_events
+    n_quarantined: int = 0
     engine_version: str = ENGINE_VERSION
     applied_at: float = field(default_factory=time.time)  # excluded from determinism
     partitions: list[dict] = field(default_factory=list)  # per-bucket lineage
