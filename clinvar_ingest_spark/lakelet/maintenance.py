@@ -320,13 +320,19 @@ def expire_snapshots(
             with contextlib.suppress(FileNotFoundError):
                 os.unlink(p)
 
-    # phase 2: delete data files referenced by NO surviving manifest
+    # phase 2: delete data files referenced by NO surviving manifest.
+    # Surviving segmented manifests also pin their file-list SEGMENTS
+    # (content-addressed, shared across snapshots — a segment is live
+    # while any surviving manifest refs it).
     live_files: set[str] = set()
+    live_segs: set[str] = set()
     for p in glob.glob(os.path.join(table.manifest_dir, "*.json")):
         name = os.path.basename(p)
         if name.startswith("_") or name.startswith("head-"):
             continue
-        man = Manifest.from_json(read_json(p))
+        man = Manifest.from_json(read_json(p), seg_dir=table._seg_dir())
+        if man.segments is not None:
+            live_segs.update(s.ref for s in man.segments)
         live_files.update(f.path for f in man.files)
 
     deleted = 0
@@ -341,4 +347,25 @@ def expire_snapshots(
             except FileNotFoundError:
                 pass  # a conflict-cleanup deleted it first
 
-    return {"expired": sorted(expired), "deleted_files": deleted}
+    # phase 3: sweep orphan file-list segments — exclusive segments of
+    # expired snapshots and CAS-losing writers' rewrites (conflict
+    # cleanup deliberately leaves segments alone: content-addressing
+    # means a loser's segment can be byte-identical to a live one, so
+    # only this global refcount-by-sweep may delete them). Grace
+    # protects segments written by an in-flight commit whose manifest
+    # isn't on disk yet.
+    deleted_segs = 0
+    for p in glob.glob(os.path.join(table._seg_dir(), "seg-*.json")):
+        ref = os.path.basename(p)[4:-5]
+        if ref not in live_segs and not _in_grace(p):
+            try:
+                os.unlink(p)
+                deleted_segs += 1
+            except FileNotFoundError:
+                pass
+
+    return {
+        "expired": sorted(expired),
+        "deleted_files": deleted,
+        "deleted_segments": deleted_segs,
+    }

@@ -108,38 +108,222 @@ class FileEntry:
 
 
 @dataclass
+class SegmentRef:
+    """Pointer to one content-addressed file-list segment (Iceberg's
+    manifest-list → manifest-file indirection, re-expressed for the
+    lakelet layout — see ``segments_doc`` at the bottom of this module).
+
+    ``kind='range'``: the base files of buckets ``lo..hi`` (inclusive).
+    ``kind='delta'``: one merge-on-read commit's appended delta files
+    (any buckets; ``lo``/``hi`` are the entries' min/max bucket, used
+    only for pruning). ``ref`` is the sha256-16 of the segment file's
+    canonical content, so byte-identical segments are the SAME file and
+    carrying a segment forward across snapshots costs one JSON object,
+    not a rewrite of its entries."""
+
+    kind: str
+    lo: int
+    hi: int
+    ref: str
+    rows: int
+    n_files: int
+    n_delta_files: int = 0
+    delta_buckets: list[int] = field(default_factory=list)
+
+    def to_json(self) -> dict:
+        d = asdict(self)
+        if not d["delta_buckets"]:
+            d.pop("delta_buckets")
+        if not d["n_delta_files"]:
+            d.pop("n_delta_files")
+        return d
+
+    @staticmethod
+    def from_json(d: dict) -> "SegmentRef":
+        return SegmentRef(
+            kind=d["kind"],
+            lo=d["lo"],
+            hi=d["hi"],
+            ref=d["ref"],
+            rows=d["rows"],
+            n_files=d["n_files"],
+            n_delta_files=d.get("n_delta_files", 0),
+            delta_buckets=list(d.get("delta_buckets", [])),
+        )
+
+
+def segment_path(seg_dir: str, ref: str) -> str:
+    return os.path.join(seg_dir, f"seg-{ref}.json")
+
+
+def write_segment(seg_dir: str, entries: list[FileEntry]) -> SegmentRef:
+    """Persist one segment content-addressed (create-if-absent: two
+    writers producing identical content share one file — benign) and
+    return its ref with the rolled-up stats the manifest keeps."""
+    body = [f.to_json() for f in entries]
+    blob = json.dumps(body, sort_keys=True, separators=(",", ":"))
+    ref = hashlib.sha256(blob.encode("utf-8")).hexdigest()[:16]
+    try:
+        link_pointer(seg_dir, f"seg-{ref}.json", {"entries": body})
+    except FileExistsError:
+        pass  # identical content already stored — shared by construction
+    deltas = sorted({f.bucket for f in entries if f.kind == "delta"})
+    buckets = [f.bucket for f in entries]
+    return SegmentRef(
+        kind="range",  # caller overrides for delta segments
+        lo=min(buckets) if buckets else 0,
+        hi=max(buckets) if buckets else 0,
+        ref=ref,
+        rows=sum(f.rows for f in entries),
+        n_files=len(entries),
+        n_delta_files=sum(1 for f in entries if f.kind == "delta"),
+        delta_buckets=deltas,
+    )
+
+
+def load_segment(seg_dir: str, ref: str) -> list[FileEntry]:
+    d = read_json(segment_path(seg_dir, ref))
+    return [FileEntry.from_json(e) for e in d["entries"]]
+
+
+def default_segment_width(n_buckets: int) -> int:
+    """Buckets per range segment: ~32 segments regardless of bucket
+    count, so a commit touching a handful of buckets rewrites ~1/32 of
+    the table's file-list metadata and carries the rest by ref."""
+    return max(1, n_buckets // 32)
+
+
 class Manifest:
-    snapshot_id: str
-    parent_id: str | None
-    batch_id: str | None
-    schema_version: int
-    n_buckets: int
-    # all schema versions ever committed, so any historical file is readable
-    schemas: dict[int, list[ColumnSpec]] = field(default_factory=dict)
-    files: list[FileEntry] = field(default_factory=list)
-    summary: dict = field(default_factory=dict)
+    """One snapshot's metadata. ``files`` is LAZY when the manifest is
+    segmented (format v2): accessing it hydrates every segment, which
+    full scans and GC need anyway — but the planning paths (bucket-
+    pruned reads, point lookups, CDC changed-bucket diffs, metadata
+    tables) go through :meth:`files_for_buckets` / the per-segment
+    stats and never pay O(table-files) for an O(batch) question.
+
+    Format v1 (inline ``files``) stays readable and writable: a table
+    created before segmentation upgrades on its next commit."""
+
+    def __init__(
+        self,
+        snapshot_id: str,
+        parent_id: str | None,
+        batch_id: str | None,
+        schema_version: int,
+        n_buckets: int,
+        schemas: dict[int, list[ColumnSpec]] | None = None,
+        files: list[FileEntry] | None = None,
+        summary: dict | None = None,
+        segments: list[SegmentRef] | None = None,
+        segment_width: int | None = None,
+        seg_dir: str | None = None,
+    ):
+        self.snapshot_id = snapshot_id
+        self.parent_id = parent_id
+        self.batch_id = batch_id
+        self.schema_version = schema_version
+        self.n_buckets = n_buckets
+        self.schemas = schemas if schemas is not None else {}
+        self.summary = summary if summary is not None else {}
+        self.segments = segments
+        self.segment_width = segment_width
+        self.seg_dir = seg_dir
+        self._files: list[FileEntry] | None = (
+            list(files) if files is not None else None
+        )
 
     @property
     def columns(self) -> list[ColumnSpec]:
         return self.schemas[self.schema_version]
 
+    # ------------------------------------------------------------- file lists
+
+    @property
+    def files(self) -> list[FileEntry]:
+        if self._files is None:
+            if self.segments is None:
+                self._files = []
+            else:
+                if self.seg_dir is None:
+                    raise RuntimeError(
+                        "segmented manifest has no seg_dir — load it via "
+                        "LakeletTable.manifest()"
+                    )
+                ents: list[FileEntry] = []
+                for s in self.segments:
+                    ents.extend(load_segment(self.seg_dir, s.ref))
+                self._files = ents
+        return self._files
+
+    @files.setter
+    def files(self, v: list[FileEntry]) -> None:
+        self._files = list(v)
+        self.segments = None  # refs no longer describe the list
+
+    def files_for_buckets(self, buckets: set[int]) -> list[FileEntry]:
+        """File entries of the given buckets, loading ONLY segments
+        whose bucket range intersects them — the point-lookup / pruned-
+        read planning path (O(segments hit), not O(table files))."""
+        if self.segments is None or self._files is not None:
+            return [f for f in self.files if f.bucket in buckets]
+        out: list[FileEntry] = []
+        for s in self.segments:
+            if any(s.lo <= b <= s.hi for b in buckets):
+                out.extend(
+                    f
+                    for f in load_segment(self.seg_dir, s.ref)
+                    if f.bucket in buckets
+                )
+        return out
+
+    def delta_bucket_set(self) -> set[int]:
+        """Buckets with unresolved MOR delta files — from per-segment
+        stats alone (no hydration) when segmented."""
+        if self.segments is not None and self._files is None:
+            out: set[int] = set()
+            for s in self.segments:
+                out.update(s.delta_buckets)
+            return out
+        return {f.bucket for f in self.files if f.kind == "delta"}
+
+    def file_counts(self) -> tuple[int, int]:
+        """(n_files, n_delta_files) without hydration when segmented."""
+        if self.segments is not None and self._files is None:
+            return (
+                sum(s.n_files for s in self.segments),
+                sum(s.n_delta_files for s in self.segments),
+            )
+        return (
+            len(self.files),
+            sum(1 for f in self.files if f.kind == "delta"),
+        )
+
+    # ------------------------------------------------------------------- json
+
     def to_json(self) -> dict:
-        return {
-            "format_version": 1,
+        base = {
             "snapshot_id": self.snapshot_id,
             "parent_id": self.parent_id,
             "batch_id": self.batch_id,
             "schema_version": self.schema_version,
             "n_buckets": self.n_buckets,
             "schemas": {
-                str(v): [c.to_json() for c in cols] for v, cols in self.schemas.items()
+                str(v): [c.to_json() for c in cols]
+                for v, cols in self.schemas.items()
             },
-            "files": [f.to_json() for f in self.files],
             "summary": self.summary,
         }
+        if self.segments is not None:
+            base["format_version"] = 2
+            base["segment_width"] = self.segment_width
+            base["segments"] = [s.to_json() for s in self.segments]
+        else:
+            base["format_version"] = 1
+            base["files"] = [f.to_json() for f in self.files]
+        return base
 
     @staticmethod
-    def from_json(d: dict) -> "Manifest":
+    def from_json(d: dict, seg_dir: str | None = None) -> "Manifest":
         return Manifest(
             snapshot_id=d["snapshot_id"],
             parent_id=d["parent_id"],
@@ -150,8 +334,15 @@ class Manifest:
                 int(v): [ColumnSpec.from_json(c) for c in cols]
                 for v, cols in d["schemas"].items()
             },
-            files=[FileEntry.from_json(f) for f in d["files"]],
+            files=[FileEntry.from_json(f) for f in d["files"]]
+            if "segments" not in d
+            else None,
             summary=d.get("summary", {}),
+            segments=[SegmentRef.from_json(s) for s in d["segments"]]
+            if "segments" in d
+            else None,
+            segment_width=d.get("segment_width"),
+            seg_dir=seg_dir,
         )
 
 

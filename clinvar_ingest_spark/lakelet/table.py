@@ -43,10 +43,14 @@ from clinvar_ingest_spark.lakelet.manifest import (
     ColumnSpec,
     FileEntry,
     Manifest,
+    SegmentRef,
     atomic_write_json,
+    default_segment_width,
     latest_pointer,
+    load_segment,
     read_json,
     snapshot_id_for,
+    write_segment,
 )
 
 #: Default schema of the `pages` table (BASELINE.json input_hint) plus
@@ -221,7 +225,8 @@ class LakeletTable:
             schema_version=1,
             n_buckets=n_buckets,
             schemas={1: columns},
-            files=[],
+            segments=[],
+            segment_width=default_segment_width(n_buckets),
             summary={"total_rows": 0, "key_col": key_col, "commit_seq": 0},
         )
         t._write_manifest(m)
@@ -344,7 +349,12 @@ class LakeletTable:
 
     def manifest(self, snapshot_id: str | None = None) -> Manifest:
         sid = snapshot_id or self.current_snapshot_id()
-        return Manifest.from_json(read_json(self._manifest_path(sid)))
+        return Manifest.from_json(
+            read_json(self._manifest_path(sid)), seg_dir=self._seg_dir()
+        )
+
+    def _seg_dir(self) -> str:
+        return os.path.join(self.manifest_dir, "segs")
 
     def has_snapshot(self, snapshot_id: str) -> bool:
         return os.path.exists(self._manifest_path(snapshot_id))
@@ -526,7 +536,7 @@ class LakeletTable:
             schema_version=bm.schema_version,
             n_buckets=bm.n_buckets,
             schemas=bm.schemas,
-            files=bm.files,
+            **self._carry_file_kwargs(bm),
             summary=dict(bm.summary),
         )
         # no cleanup_paths: the data files belong to the branch's
@@ -610,12 +620,13 @@ class LakeletTable:
         rows = []
         for sid in self.history():
             m = self.manifest(sid)
+            n_files, n_delta = m.file_counts()
             rows.append((
                 m.snapshot_id, m.parent_id, m.batch_id,
                 int(m.summary.get("commit_seq", 0)), m.schema_version,
                 m.n_buckets, int(m.summary.get("total_rows", 0)),
-                len(m.files),
-                sum(1 for f in m.files if f.kind == "delta"),
+                n_files,
+                n_delta,
                 float(m.summary["committed_at"])
                 if m.summary.get("committed_at") is not None else None,
             ))
@@ -704,7 +715,11 @@ class LakeletTable:
         target_cols = m.columns
         target_schema = spark_schema(target_cols)
         bset = set(int(b) for b in buckets) if buckets is not None else None
-        in_buckets = [f for f in m.files if bset is None or f.bucket in bset]
+        # bucket-pruned reads load only the manifest segments covering
+        # the requested buckets — metadata planning cost ∝ request, not
+        # table size (full scans hydrate everything, which they read
+        # anyway)
+        in_buckets = m.files if bset is None else m.files_for_buckets(bset)
         delta_buckets = {f.bucket for f in in_buckets if f.kind == "delta"}
         if delta_buckets:
             files = [f for f in in_buckets if f.bucket in delta_buckets]
@@ -783,7 +798,7 @@ class LakeletTable:
                 )
                 .collect()[0]["b"]
             )
-        in_bucket = [f for f in m.files if f.bucket == int(bucket)]
+        in_bucket = m.files_for_buckets({int(bucket)})
         files = [
             f
             for f in in_bucket
@@ -825,7 +840,7 @@ class LakeletTable:
         """Buckets of a snapshot carrying unresolved delta files
         (= the compaction work list)."""
         m = self.manifest(snapshot_id)
-        return sorted({f.bucket for f in m.files if f.kind == "delta"})
+        return sorted(m.delta_bucket_set())
 
     def touched_buckets(self, batch_keys: DataFrame, key_col: str | None = None) -> list[int]:
         """Distinct buckets of a batch's keys (small: ≤ n_buckets ints)."""
@@ -845,6 +860,125 @@ class LakeletTable:
         return snapshot_id_for(
             m.snapshot_id, batch_id, schema_version or m.schema_version
         )
+
+    # ---------------------------------------------------- file-list segments
+    #
+    # Iceberg's snapshot → manifest-list → manifest-file indirection,
+    # re-expressed: a snapshot's file list is split into content-
+    # addressed SEGMENTS (manifests/segs/seg-<sha16>.json). A commit
+    # rewrites only the segments whose buckets it touched and carries
+    # every other segment as a one-line ref — so commit METADATA cost
+    # is ∝ touched buckets, not table size, which is what survives a
+    # 10^10-event history over 100 TB (a single inline file list would
+    # make every commit re-serialize O(table-files) JSON). MOR delta
+    # commits append ONE new segment and carry everything: O(batch).
+
+    def _carry_file_kwargs(self, m: Manifest) -> dict:
+        """Manifest-constructor kwargs that carry ``m``'s file list into
+        a metadata-only child commit without hydrating it: segment refs
+        verbatim when segmented, the inline list otherwise (legacy)."""
+        if m.segments is not None:
+            return dict(
+                segments=list(m.segments),
+                segment_width=m.segment_width,
+                seg_dir=self._seg_dir(),
+            )
+        return dict(files=m.files)
+
+    def _segment_all(
+        self, entries: Sequence[FileEntry], n_buckets: int
+    ) -> tuple[list[SegmentRef], int]:
+        """Segment a full file list from scratch (genesis, the one-time
+        v1→v2 upgrade commit, rebucket)."""
+        width = default_segment_width(n_buckets)
+        by_slot: dict[int, list[FileEntry]] = {}
+        for fe in entries:
+            by_slot.setdefault(fe.bucket // width, []).append(fe)
+        segs = []
+        for slot in sorted(by_slot):
+            sr = write_segment(self._seg_dir(), by_slot[slot])
+            sr.kind = "range"
+            sr.lo = slot * width
+            sr.hi = slot * width + width - 1
+            segs.append(sr)
+        return segs, width
+
+    def _advance_segments(
+        self,
+        m: Manifest,
+        touched: set[int],
+        new_entries: list[FileEntry],
+        mode: str,
+    ) -> tuple[list[SegmentRef], int]:
+        """The child snapshot's segment list, from the parent's.
+
+        ``mode='rewrite'`` (COW/compaction): every parent file of a
+        touched bucket — base or delta, range or delta segment — is
+        dropped; ``new_entries`` (the bucket's new base files) merge
+        into their range segments. Only segments intersecting
+        ``touched`` are loaded; the rest carry by ref.
+
+        ``mode='delta'`` (merge-on-read): the parent's segments carry
+        verbatim and ``new_entries`` become one new delta segment —
+        zero parent loads, metadata cost ∝ batch.
+        """
+        seg_dir = self._seg_dir()
+        if m.segments is None:
+            base_segs, width = self._segment_all(m.files, m.n_buckets)
+        else:
+            base_segs = m.segments
+            width = m.segment_width or default_segment_width(m.n_buckets)
+
+        if mode == "delta":
+            sr = write_segment(seg_dir, new_entries)
+            sr.kind = "delta"
+            return list(base_segs) + [sr], width
+
+        touched_slots = {b // width for b in touched}
+        by_slot_new: dict[int, list[FileEntry]] = {}
+        for fe in new_entries:
+            by_slot_new.setdefault(fe.bucket // width, []).append(fe)
+        out: list[SegmentRef] = []
+        for s in base_segs:
+            if s.kind == "delta":
+                ent_buckets = set(s.delta_buckets)
+                if not (ent_buckets & touched):
+                    out.append(s)
+                    continue
+                ents = [
+                    f
+                    for f in load_segment(seg_dir, s.ref)
+                    if f.bucket not in touched
+                ]
+                if ents:
+                    nsr = write_segment(seg_dir, ents)
+                    nsr.kind = "delta"
+                    out.append(nsr)
+                continue
+            slot = s.lo // width
+            if slot not in touched_slots and slot not in by_slot_new:
+                out.append(s)
+                continue
+            ents = [
+                f
+                for f in load_segment(seg_dir, s.ref)
+                if f.bucket not in touched
+            ]
+            ents.extend(by_slot_new.pop(slot, []))
+            if ents:
+                nsr = write_segment(seg_dir, ents)
+                nsr.kind = "range"
+                nsr.lo = slot * width
+                nsr.hi = slot * width + width - 1
+                out.append(nsr)
+        for slot in sorted(by_slot_new):
+            nsr = write_segment(seg_dir, by_slot_new[slot])
+            nsr.kind = "range"
+            nsr.lo = slot * width
+            nsr.hi = slot * width + width - 1
+            out.append(nsr)
+        out.sort(key=lambda s: (s.kind != "range", s.lo))
+        return out, width
 
     def _prune_unreferenced(
         self, sid: str, cleanup_paths: Sequence[str] | None
@@ -877,6 +1011,12 @@ class LakeletTable:
         import time as _time
 
         seq = int(parent.summary.get("commit_seq", 0)) + 1
+        if nm.segments is None:
+            # caller built an inline file list (rebucket, tests) —
+            # segment it here so every committed manifest is format v2
+            segs, width = self._segment_all(nm.files, nm.n_buckets)
+            nm.segment_width = width
+            nm.segments = segs
         nm.summary = dict(nm.summary)
         nm.summary["commit_seq"] = seq
         # wall-clock commit time: AS-OF-timestamp travel + metadata
@@ -1010,15 +1150,16 @@ class LakeletTable:
             stats_out["commit_secs"] = round(_time.time() - t_write_done, 4)
 
         touched = set(int(b) for b in touched_buckets)
-        kept = [f for f in m.files if f.bucket not in touched]
-        files = kept + new_entries
+        segments, seg_width = self._advance_segments(
+            m, touched, new_entries, mode="rewrite"
+        )
         new_summary = dict(m.summary)
         new_summary.update(summary or {})
         # a data rewrite invalidates any clustered-layout claim unless
         # the caller re-asserts it (sort_rewrite does; merges don't)
         if "sort_order" not in (summary or {}):
             new_summary.pop("sort_order", None)
-        new_summary["total_rows"] = sum(f.rows for f in files)
+        new_summary["total_rows"] = sum(s.rows for s in segments)
         nm = Manifest(
             snapshot_id=sid,
             parent_id=m.snapshot_id,
@@ -1026,7 +1167,9 @@ class LakeletTable:
             schema_version=m.schema_version,
             n_buckets=m.n_buckets,
             schemas=m.schemas,
-            files=files,
+            segments=segments,
+            segment_width=seg_width,
+            seg_dir=self._seg_dir(),
             summary=new_summary,
         )
         # losing the CAS deletes this writer's freshly-promoted data
@@ -1107,7 +1250,9 @@ class LakeletTable:
             stats_out["write_secs"] = round(t_write_done - t0, 4)
             stats_out["commit_secs"] = round(_time.time() - t_write_done, 4)
 
-        files = list(m.files) + new_entries
+        segments, seg_width = self._advance_segments(
+            m, set(int(b) for b in touched_buckets), new_entries, mode="delta"
+        )
         new_summary = dict(m.summary)
         new_summary.update(summary or {})
         # a data change invalidates any clustered-layout claim, and the
@@ -1118,7 +1263,7 @@ class LakeletTable:
         # physical row count (base + unresolved delta versions) — the
         # logical count needs resolution, which a metadata commit
         # cannot afford; compaction snaps it back to logical
-        new_summary["total_rows"] = sum(f.rows for f in files)
+        new_summary["total_rows"] = sum(s.rows for s in segments)
         nm = Manifest(
             snapshot_id=sid,
             parent_id=m.snapshot_id,
@@ -1126,7 +1271,9 @@ class LakeletTable:
             schema_version=m.schema_version,
             n_buckets=m.n_buckets,
             schemas=m.schemas,
-            files=files,
+            segments=segments,
+            segment_width=seg_width,
+            seg_dir=self._seg_dir(),
             summary=new_summary,
         )
         self._commit_manifest(nm, m, cleanup_paths=[f.path for f in new_entries])
@@ -1151,7 +1298,10 @@ class LakeletTable:
             schema_version=new_ver,
             n_buckets=m.n_buckets,
             schemas=schemas,
-            files=m.files,  # untouched: old files readable via name-mapping
+            # untouched files: segment refs carry verbatim (old files
+            # stay readable via name-mapping) — a schema commit never
+            # loads, let alone rewrites, the file-list metadata
+            **self._carry_file_kwargs(m),
             summary=m.summary,
         )
         self._commit_manifest(nm, m)

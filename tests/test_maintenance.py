@@ -144,7 +144,12 @@ def test_rebucket_crash_retry_reconverges(spark, tmp_path):
             continue
         from clinvar_ingest_spark.lakelet.manifest import Manifest, read_json
 
-        live |= {f.path for f in Manifest.from_json(read_json(mp)).files}
+        live |= {
+            f.path
+            for f in Manifest.from_json(
+                read_json(mp), seg_dir=t._seg_dir()
+            ).files
+        }
     on_disk = {
         os.path.relpath(f, t.root)
         for f in g.glob(os.path.join(t.data_dir, "*.parquet"))
