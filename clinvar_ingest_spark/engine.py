@@ -308,6 +308,10 @@ class CdcEngine:
             todo = [b for b in todo if b in want]
         if not todo:
             return None
+        # partition-spec evolution: folding a delta bucket that overlaps
+        # a legacy-spec base file must rewrite that whole file — expand
+        # (identity pre-grow); compaction doubles as lazy spec migration
+        todo = self.table.rewrite_closure(todo)
         rows = self.table.read(self.spark, buckets=todo).withColumn(
             "_bucket", bucket_expr(self.table.key_col, m.n_buckets)
         )
@@ -401,6 +405,17 @@ class CdcEngine:
         """User-facing view: input_hint columns only (lineage cols hidden,
         tombstones filtered)."""
         return self.live(snapshot_id).select("url", "warc_ts", "html", "text", "lang")
+
+    def count_live(self, snapshot_id: str | None = None) -> int:
+        """LIVE row count — metadata-only when the manifest can prove it
+        (pure-COW snapshot, per-file footer tombstone counts:
+        Manifest.live_rows; Iceberg's snapshot-summary / count(*)
+        pushdown), else one scan. On a compacted 100 TB table the fast
+        path reads zero data files."""
+        n = self.table.manifest(snapshot_id).live_rows()
+        if n is not None:
+            return n
+        return self.live(snapshot_id).count()
 
     def lookup(
         self,
@@ -503,6 +518,36 @@ class CdcEngine:
             .drop("_seq", "_deleted")
         )
         return diff_ops.diff_all(new, old, keys=[self.table.key_col], null_safe=null_safe)
+
+    def changelog_view(
+        self, old_snapshot: str, new_snapshot: str, null_safe: bool = True
+    ) -> DataFrame:
+        """Retract-form change feed between two snapshots — the Flink
+        changelog / Iceberg ``create_changelog_view`` row kinds
+        (insert / delete / update_before / update_after; updated keys
+        emit their old AND new images). Same COW changed-bucket pruning
+        and schema alignment as :meth:`diff_snapshots`; one shuffle
+        (:func:`operators.diff.diff_changelog`). Consumers that
+        understand retractions can keep downstream aggregates exactly
+        correct under updates without rereading the table."""
+        from clinvar_ingest_spark.lakelet.table import align_select
+        from clinvar_ingest_spark.operators.diff import diff_changelog
+
+        new_m = self.table.manifest(new_snapshot)
+        old_m = self.table.manifest(old_snapshot)
+        buckets = self.changed_buckets(old_snapshot, new_snapshot)
+        old = self.table.read(self.spark, old_snapshot, buckets=buckets)
+        sel = align_select(old_m.columns, new_m.columns)
+        live = ~F.coalesce(F.col("_deleted"), F.lit(False))
+        old = old.select(*sel).filter(live).drop("_seq", "_deleted")
+        new = (
+            self.table.read(self.spark, new_snapshot, buckets=buckets)
+            .filter(live)
+            .drop("_seq", "_deleted")
+        )
+        return diff_changelog(
+            new, old, keys=[self.table.key_col], null_safe=null_safe
+        )
 
     def export_diff_ndjson(
         self,

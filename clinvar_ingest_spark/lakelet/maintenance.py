@@ -86,7 +86,8 @@ def rebucket(
     from clinvar_ingest_spark.lakelet.table import promote_staged_files
 
     new_entries = promote_staged_files(
-        table.root, staging, sid, token, m.schema_version
+        table.root, staging, sid, token, m.schema_version,
+        spec_n=new_n_buckets,
     )
     import shutil
 
@@ -169,7 +170,12 @@ def sort_rewrite(
     return table.commit_rewrite(
         spark,
         ordered,
-        touched_buckets=[f.bucket for f in m.files],
+        # closure maps legacy-spec file buckets to every current bucket
+        # they span (identity pre-grow) — a sorted rewrite also migrates
+        # any remaining legacy-spec files to the current spec
+        touched_buckets=table.rewrite_closure(
+            {f.bucket for f in m.files}
+        ),
         batch_id=batch_id,
         summary={"sort_order": spec},
         pre_partitioned=True,
@@ -210,6 +216,8 @@ def purge_tombstones(
     )
     if not touched:
         return m.snapshot_id
+    # spec evolution: rewrite whole legacy files (identity pre-grow)
+    touched = table.rewrite_closure(touched)
     batch_id = f"purge_tombstones:{older_than}:{m.snapshot_id}"
     kept = (
         table.read(spark, buckets=touched)

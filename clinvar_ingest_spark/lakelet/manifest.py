@@ -95,11 +95,28 @@ class FileEntry:
     #: see lakelet/bloom.py): point lookups skip delta files whose bloom
     #: excludes the key. None = never skipped.
     key_bloom: str | None = None
+    #: bucket count ``bucket`` was computed under (partition-spec id).
+    #: None = the owning manifest's n_buckets (pre-spec-evolution
+    #: entries; ``grow_buckets`` restamps them explicitly). A file whose
+    #: spec_n differs from the manifest's n_buckets is a LEGACY-spec
+    #: file: its rows span the current buckets ≡ bucket (mod spec_n) —
+    #: Iceberg partition-spec evolution re-expressed for hash buckets.
+    spec_n: int | None = None
+    #: soft-delete tombstone rows in the file (``_deleted`` true) —
+    #: footer-derived at promote time (a column read only when the
+    #: footer min/max is mixed; cost ∝ the file's own rows). None =
+    #: unknown (legacy entries) — metadata-only live counts fall back
+    #: to a scan. Iceberg's snapshot-summary / count-pushdown analogue.
+    n_tombstones: int | None = None
 
     def to_json(self) -> dict:
         d = asdict(self)
         if d.get("key_bloom") is None:
             d.pop("key_bloom", None)  # keep base-file entries compact
+        if d.get("spec_n") is None:
+            d.pop("spec_n", None)
+        if d.get("n_tombstones") is None:
+            d.pop("n_tombstones", None)
         return d
 
     @staticmethod
@@ -129,6 +146,14 @@ class SegmentRef:
     n_files: int
     n_delta_files: int = 0
     delta_buckets: list[int] = field(default_factory=list)
+    #: distinct explicit spec_n values among the entries (partition-spec
+    #: evolution): lets readers decide from the REF alone whether a
+    #: segment may hold legacy-spec files for a requested bucket.
+    specs: list[int] = field(default_factory=list)
+    #: total tombstone rows across entries; None if any entry's count is
+    #: unknown — rolls per-file counts up so a LIVE row count is a pure
+    #: manifest read on fully-counted COW snapshots.
+    n_tombstones: int | None = None
 
     def to_json(self) -> dict:
         d = asdict(self)
@@ -136,6 +161,10 @@ class SegmentRef:
             d.pop("delta_buckets")
         if not d["n_delta_files"]:
             d.pop("n_delta_files")
+        if not d["specs"]:
+            d.pop("specs")
+        if d["n_tombstones"] is None:
+            d.pop("n_tombstones")
         return d
 
     @staticmethod
@@ -149,6 +178,8 @@ class SegmentRef:
             n_files=d["n_files"],
             n_delta_files=d.get("n_delta_files", 0),
             delta_buckets=list(d.get("delta_buckets", [])),
+            specs=list(d.get("specs", [])),
+            n_tombstones=d.get("n_tombstones"),
         )
 
 
@@ -178,6 +209,12 @@ def write_segment(seg_dir: str, entries: list[FileEntry]) -> SegmentRef:
         n_files=len(entries),
         n_delta_files=sum(1 for f in entries if f.kind == "delta"),
         delta_buckets=deltas,
+        specs=sorted({f.spec_n for f in entries if f.spec_n is not None}),
+        n_tombstones=(
+            sum(f.n_tombstones for f in entries)
+            if all(f.n_tombstones is not None for f in entries)
+            else None
+        ),
     )
 
 
@@ -260,19 +297,37 @@ class Manifest:
         self._files = list(v)
         self.segments = None  # refs no longer describe the list
 
+    def entry_covers(self, f: FileEntry, buckets: set[int]) -> bool:
+        """May file ``f`` hold rows of any CURRENT-spec bucket in
+        ``buckets``? Current-spec files: direct membership. Legacy-spec
+        files (spec_n divides n_buckets, from ``grow_buckets``): a key
+        in current bucket b lives in legacy bucket b % spec_n, so the
+        file covers b iff f.bucket ≡ b (mod spec_n)."""
+        s = f.spec_n or self.n_buckets
+        if s == self.n_buckets:
+            return f.bucket in buckets
+        return any(b % s == f.bucket for b in buckets)
+
     def files_for_buckets(self, buckets: set[int]) -> list[FileEntry]:
-        """File entries of the given buckets, loading ONLY segments
-        whose bucket range intersects them — the point-lookup / pruned-
-        read planning path (O(segments hit), not O(table files))."""
+        """File entries covering the given CURRENT-spec buckets, loading
+        ONLY segments whose bucket range (or legacy-spec projection)
+        intersects them — the point-lookup / pruned-read planning path
+        (O(segments hit), not O(table files))."""
         if self.segments is None or self._files is not None:
-            return [f for f in self.files if f.bucket in buckets]
+            return [f for f in self.files if self.entry_covers(f, buckets)]
         out: list[FileEntry] = []
         for s in self.segments:
-            if any(s.lo <= b <= s.hi for b in buckets):
+            hit = any(s.lo <= b <= s.hi for b in buckets) or any(
+                s.lo <= (b % sp) <= s.hi
+                for sp in s.specs
+                if sp != self.n_buckets
+                for b in buckets
+            )
+            if hit:
                 out.extend(
                     f
                     for f in load_segment(self.seg_dir, s.ref)
-                    if f.bucket in buckets
+                    if self.entry_covers(f, buckets)
                 )
         return out
 
@@ -285,6 +340,29 @@ class Manifest:
                 out.update(s.delta_buckets)
             return out
         return {f.bucket for f in self.files if f.kind == "delta"}
+
+    def live_rows(self) -> int | None:
+        """LIVE row count from metadata alone (total rows minus
+        footer-counted tombstones), or None when only a scan can answer:
+        any MOR delta file present (LWW resolution needed) or any entry
+        with an unknown tombstone count (legacy). The Iceberg
+        snapshot-summary / count(*)-pushdown analogue — on a compacted
+        snapshot a COUNT costs zero data reads at any table size."""
+        if self.segments is not None and self._files is None:
+            if any(s.n_delta_files for s in self.segments):
+                return None
+            tombs = 0
+            for s in self.segments:
+                if s.n_tombstones is None:
+                    return None
+                tombs += s.n_tombstones
+            return sum(s.rows for s in self.segments) - tombs
+        files = self.files
+        if any(f.kind == "delta" for f in files):
+            return None
+        if any(f.n_tombstones is None for f in files):
+            return None
+        return sum(f.rows - f.n_tombstones for f in files)
 
     def file_counts(self) -> tuple[int, int]:
         """(n_files, n_delta_files) without hydration when segmented."""

@@ -732,6 +732,16 @@ class LakeletTable:
         if not files:
             return spark.createDataFrame([], schema=target_schema)
         out = self._read_entries(spark, m, files)
+        if bset is not None and any(
+            f.spec_n not in (None, m.n_buckets) for f in files
+        ):
+            # partition-spec evolution: a legacy-spec file spans several
+            # current buckets — keep the bucket-read contract EXACT with
+            # a row-level hash filter (one codegen'd expression; no-op
+            # for closure-expanded merge reads, load-bearing for any
+            # caller that asked for precise bucket slices)
+            key_col = m.summary.get("key_col", "url")
+            out = out.filter(bucket_expr(key_col, m.n_buckets).isin(*bset))
         if resolve and delta_buckets:
             out = self._resolve_lww(out, m)
         return out
@@ -935,6 +945,30 @@ class LakeletTable:
             return list(base_segs) + [sr], width
 
         touched_slots = {b // width for b in touched}
+        # legacy-spec projections (partition-spec evolution): a touched
+        # current bucket b is held by a legacy-spec-sp file at bucket
+        # b % sp — project touched into each legacy spec space once
+        touched_mod = {
+            sp: {b % sp for b in touched}
+            for s in base_segs
+            for sp in s.specs
+            if sp != m.n_buckets
+        }
+
+        def keep_entry(f: FileEntry) -> bool:
+            sp = f.spec_n or m.n_buckets
+            if sp == m.n_buckets:
+                return f.bucket not in touched
+            return f.bucket not in touched_mod.get(sp, {b % sp for b in touched})
+
+        def legacy_hit(s: SegmentRef) -> bool:
+            return any(
+                s.lo <= mb <= s.hi
+                for sp in s.specs
+                if sp != m.n_buckets
+                for mb in touched_mod.get(sp, ())
+            )
+
         by_slot_new: dict[int, list[FileEntry]] = {}
         for fe in new_entries:
             by_slot_new.setdefault(fe.bucket // width, []).append(fe)
@@ -942,28 +976,24 @@ class LakeletTable:
         for s in base_segs:
             if s.kind == "delta":
                 ent_buckets = set(s.delta_buckets)
-                if not (ent_buckets & touched):
+                if not (ent_buckets & touched) and not legacy_hit(s):
                     out.append(s)
                     continue
-                ents = [
-                    f
-                    for f in load_segment(seg_dir, s.ref)
-                    if f.bucket not in touched
-                ]
+                ents = [f for f in load_segment(seg_dir, s.ref) if keep_entry(f)]
                 if ents:
                     nsr = write_segment(seg_dir, ents)
                     nsr.kind = "delta"
                     out.append(nsr)
                 continue
             slot = s.lo // width
-            if slot not in touched_slots and slot not in by_slot_new:
+            if (
+                slot not in touched_slots
+                and slot not in by_slot_new
+                and not legacy_hit(s)
+            ):
                 out.append(s)
                 continue
-            ents = [
-                f
-                for f in load_segment(seg_dir, s.ref)
-                if f.bucket not in touched
-            ]
+            ents = [f for f in load_segment(seg_dir, s.ref) if keep_entry(f)]
             ents.extend(by_slot_new.pop(slot, []))
             if ents:
                 nsr = write_segment(seg_dir, ents)
@@ -1133,7 +1163,8 @@ class LakeletTable:
 
         t_write_done = _time.time()
         new_entries = promote_staged_files(
-            self.root, staging, sid, token, m.schema_version
+            self.root, staging, sid, token, m.schema_version,
+            spec_n=m.n_buckets,
         )
         _rmtree(staging)
 
@@ -1238,6 +1269,7 @@ class LakeletTable:
         new_entries = promote_staged_files(
             self.root, staging, sid, token, m.schema_version, kind="delta",
             bloom_key=m.summary.get("key_col", "url"),
+            spec_n=m.n_buckets,
         )
         _rmtree(staging)
 
@@ -1278,6 +1310,93 @@ class LakeletTable:
         )
         self._commit_manifest(nm, m, cleanup_paths=[f.path for f in new_entries])
         return sid
+
+    # --------------------------------------------------- partition-spec grow
+
+    def grow_buckets(self, new_n: int, batch_id: str | None = None) -> str:
+        """Partition-spec evolution: multiply the bucket count WITHOUT
+        rewriting any data file — Iceberg's evolve-partition-spec
+        re-expressed for hash buckets (vs :func:`maintenance.rebucket`,
+        the full-rewrite resize). A metadata-only commit: every existing
+        file entry is restamped with its explicit legacy ``spec_n``, new
+        writes land under the new spec, and reads plan across both specs
+        (a key in current bucket b lives in a legacy-spec-s file at
+        bucket b % s, which divides exactly because growth is by an
+        integer factor). Merges and compactions migrate legacy files
+        LAZILY: :meth:`rewrite_closure` expands their touched set to
+        whole legacy files, so the first write touching any of a legacy
+        file's buckets rewrites it under the new spec.
+
+        At 100 TB this is the operation that keeps hash partitioning
+        viable as a table grows 100× — resizing by rewrite would cost a
+        full-table pass; this costs one metadata commit plus write
+        amplification bounded by the growth factor on first touch.
+
+        Growth must be an integer multiple (16→32→128…); shrinking or
+        non-divisible resizes need the rebucket rewrite. Idempotent by
+        deterministic snapshot id; same CAS commit as every other path.
+        """
+        m = self.manifest()
+        if new_n == m.n_buckets:
+            return m.snapshot_id
+        if new_n < m.n_buckets or new_n % m.n_buckets != 0:
+            raise ValueError(
+                f"grow_buckets requires an integer multiple of the "
+                f"current bucket count ({m.n_buckets} -> {new_n}); use "
+                f"maintenance.rebucket for arbitrary resizing "
+                f"(full rewrite)"
+            )
+        batch_id = batch_id or f"grow_buckets:{new_n}:{m.snapshot_id}"
+        sid = snapshot_id_for(m.snapshot_id, batch_id, m.schema_version)
+        if self._is_committed_child(sid, m):
+            return sid
+        entries = []
+        for f in m.files:
+            fe = FileEntry.from_json(f.to_json())
+            fe.spec_n = f.spec_n or m.n_buckets
+            entries.append(fe)
+        segs, width = self._segment_all(entries, new_n)
+        nm = Manifest(
+            snapshot_id=sid,
+            parent_id=m.snapshot_id,
+            batch_id=batch_id,
+            schema_version=m.schema_version,
+            n_buckets=new_n,
+            schemas=m.schemas,
+            segments=segs,
+            segment_width=width,
+            seg_dir=self._seg_dir(),
+            summary=dict(m.summary),
+        )
+        self._commit_manifest(nm, m)
+        return sid
+
+    def rewrite_closure(self, buckets: Sequence[int]) -> list[int]:
+        """Expand a touched-bucket set so a COW rewrite may replace
+        whole files under partition-spec evolution: if a legacy-spec
+        file covers any touched bucket, ALL current-spec buckets it
+        spans join the set — its untouched rows must be CARRIED into
+        the rewrite, never dropped. Identity on single-spec tables
+        (the fast path every pre-grow table takes); fixpoint across
+        nested legacy levels otherwise."""
+        m = self.manifest()
+        bset = {int(b) for b in buckets}
+        if m.segments is not None and not any(
+            sp != m.n_buckets for s in m.segments for sp in s.specs
+        ):
+            return sorted(bset)
+        while True:
+            grew = False
+            for f in m.files_for_buckets(bset):
+                sp = f.spec_n or m.n_buckets
+                if sp == m.n_buckets:
+                    continue
+                cover = {f.bucket + i * sp for i in range(m.n_buckets // sp)}
+                if not cover <= bset:
+                    bset |= cover
+                    grew = True
+            if not grew:
+                return sorted(bset)
 
     # ------------------------------------------------------- schema evolution
 
@@ -1400,6 +1519,7 @@ def promote_staged_files(
     schema_version: int,
     kind: str = "base",
     bloom_key: str | None = None,
+    spec_n: int | None = None,
 ) -> list[FileEntry]:
     """THE promotion protocol (shared by commit_rewrite and rebucket —
     a second copy is how the missing-token crash-retry bug happened):
@@ -1438,6 +1558,8 @@ def promote_staged_files(
             path=rel, bucket=b, rows=rows,
             schema_version=schema_version,
             ts_min=ts_min, ts_max=ts_max, kind=kind, key_bloom=key_bloom,
+            spec_n=spec_n,
+            n_tombstones=_parquet_tombstones(dst),
         )
 
     from concurrent.futures import ThreadPoolExecutor
@@ -1500,6 +1622,41 @@ def _parquet_stats(path: str, ts_col: str = "warc_ts"):
     if lo is None:
         return md.num_rows, None, None
     return md.num_rows, lo.isoformat(), hi.isoformat()
+
+
+def _parquet_tombstones(path: str) -> int:
+    """Count ``_deleted`` = true rows, footer-first: row groups whose
+    boolean statistics prove all-false (or all-true) cost nothing; only
+    a mixed group forces reading the one boolean column (cost ∝ the
+    file's own rows — promote-time, never table-wide). Tables without a
+    ``_deleted`` column have no tombstones by construction."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
+    try:
+        ci = md.schema.to_arrow_schema().get_field_index("_deleted")
+    except Exception:
+        ci = -1
+    if ci < 0:
+        return 0
+    total = 0
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(ci).statistics
+        if st is None or not st.has_min_max:
+            break
+        if st.max is False:  # NULL counts as not-deleted
+            continue
+        if st.min is True and (st.null_count or 0) == 0:
+            total += md.row_group(rg).num_rows
+            continue
+        break
+    else:
+        return total
+    import pyarrow.compute as pc
+
+    col = pq.read_table(path, columns=["_deleted"]).column(0)
+    return int(pc.sum(pc.fill_null(col, False).cast("int64")).as_py() or 0)
 
 
 def select_files(

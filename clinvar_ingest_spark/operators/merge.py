@@ -163,6 +163,9 @@ def merge_apply(
         .distinct()
         .collect()
     ]
+    # partition-spec evolution: expand to whole legacy-spec files so the
+    # COW replacement carries their untouched rows (identity pre-grow)
+    touched = table.rewrite_closure(touched)
 
     batch_obs = Observation()
     observed = batch.observe(

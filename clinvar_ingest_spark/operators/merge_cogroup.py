@@ -381,7 +381,7 @@ def merge_apply_cogrouped(
         )
 
     if assume_all_buckets:
-        touched = list(range(m.n_buckets))
+        touched = list(range(m.n_buckets))  # already spec-closed
     else:
         touched = [
             r["_b"]
@@ -389,6 +389,9 @@ def merge_apply_cogrouped(
             .distinct()
             .collect()
         ]
+        # partition-spec evolution: expand to whole legacy-spec files so
+        # the COW replacement carries their untouched rows
+        touched = table.rewrite_closure(touched)
 
     batch_obs = Observation()
     observed = batch.observe(

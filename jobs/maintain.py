@@ -26,6 +26,10 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__.split("\n", 1)[0])
     p.add_argument("--table", required=True, help="lakelet table root")
     p.add_argument("--rebucket", type=int, help="rewrite under N hash buckets")
+    p.add_argument("--grow-buckets", type=int,
+                   help="metadata-only partition-spec growth to N buckets "
+                        "(integer multiple of current; zero data rewritten "
+                        "— merges/compactions migrate legacy files lazily)")
     p.add_argument("--expire-keep", type=int,
                    help="expire all but the last N snapshots + GC data files")
     p.add_argument("--expire-grace", type=float, default=600.0,
@@ -43,6 +47,7 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
     if not (
         args.rebucket
+        or args.grow_buckets
         or args.expire_keep is not None
         or args.purge_tombstones_before
         or args.sort_by
@@ -65,6 +70,8 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.rebucket:
         out["rebucket_snapshot"] = rebucket(spark, eng.table, args.rebucket)
+    if args.grow_buckets:
+        out["grow_snapshot"] = eng.table.grow_buckets(args.grow_buckets)
     if args.purge_tombstones_before:
         out["purge_snapshot"] = purge_tombstones(
             spark, eng.table, args.purge_tombstones_before
