@@ -878,6 +878,31 @@ def q_schema_evolution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spec_grow_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution end-to-end: replay half the fixture at
+    8 buckets, grow_buckets(32) — a METADATA-ONLY commit, zero rows
+    rewritten (Iceberg evolve-partition-spec; vs rebucket's full
+    rewrite) — then replay the rest. Post-grow merges plan reads across
+    both specs (a key in current bucket b lives in a legacy-spec-s file
+    at bucket b % s) and lazily migrate the legacy files they touch via
+    rewrite_closure. Final live state must equal the plain full-stream
+    LWW, which is exactly what the oracle computes."""
+    import tempfile
+
+    from clinvar_ingest_spark.engine import CdcEngine
+
+    clp = _ensure_cdc_fixture()
+    tmp = tempfile.mkdtemp(prefix="cdc_grow_")
+    cl = spark.read.parquet(clp)
+    eng = CdcEngine(spark, os.path.join(tmp, "pages"), n_buckets=8)
+    eng.replay(cl.filter(F.col("seq") < 1000), batch_size=500)
+    eng.table.grow_buckets(32)
+    eng.replay(cl, batch_size=500, from_seq=1000)
+    return eng.live().select(
+        "url", "warc_ts", "lang", F.col("_seq").alias("last_seq")
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-dedup decision: near-dup pairs → connected components →
     keeper per cluster (iterative min-label propagation; the scalable
@@ -1410,6 +1435,36 @@ def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_changelog_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retract-form CDC feed (Flink changelog / Iceberg
+    create_changelog_view row kinds): replay half the fixture, pin the
+    snapshot, replay the rest, then `changelog_view(half, head)` —
+    updated keys emit BOTH images (update_before/update_after), built
+    from the same single full-outer join the plain diff uses (array of
+    image structs + explode; no second join). The oracle recomputes
+    both LWW states and unions the four kinds explicitly."""
+    import tempfile
+
+    from clinvar_ingest_spark.engine import CdcEngine
+
+    clp = _ensure_cdc_fixture()
+    tmp = tempfile.mkdtemp(prefix="changelog_retract_")
+    eng = CdcEngine(spark, os.path.join(tmp, "pages"), n_buckets=8)
+    cl = spark.read.parquet(clp)
+    eng.replay(cl.filter(F.col("seq") < 1000), batch_size=500)
+    sid_half = eng.table.current_snapshot_id()
+    eng.replay(cl.filter(F.col("seq") >= 1000), batch_size=500)
+    sid_head = eng.table.current_snapshot_id()
+    d = eng.changelog_view(sid_half, sid_head)
+    return d.select(
+        F.col("_change_type").alias("change_type"),
+        "url",
+        "warc_ts",
+        "lang",
+        F.sha2(F.col("html"), 256).alias("html_sha"),
+    )
+
+
 def q_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata tables under the oracle gate (round 3 continuation):
     replay the fixture changelog, then answer entirely from
@@ -1592,6 +1647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "dedup_clusters": q_dedup_clusters,
         "schema_evolution_replay": q_schema_evolution_replay,
+        "spec_grow_replay": q_spec_grow_replay,
         "fanout_entities": q_fanout_entities,
         "link_targets": q_link_targets,
         "cdc_replay_pages": q_cdc_replay_pages,
@@ -1611,6 +1667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessions": q_stream_sessions,
         "inverted_index_replay": q_inverted_index_replay,
         "table_changes": q_table_changes,
+        "changelog_retract": q_changelog_retract,
         "snapshot_history": q_snapshot_history,
         "quarantine_routing": q_quarantine_routing,
         "corpus_quantiles": q_corpus_quantiles,
@@ -2015,6 +2072,17 @@ def oracle_sql() -> dict[str, str]:
               FROM read_parquet('{_ensure_cdc_fixture()}')
             ) WHERE rn = 1 AND op <> 'delete'
         """,
+        "spec_grow_replay": f"""
+            -- grow_buckets is metadata-only: final live state equals
+            -- the plain LWW of the full stream regardless of when the
+            -- partition spec changed
+            SELECT url, warc_ts, lang, seq AS last_seq
+            FROM (
+              SELECT *, row_number() OVER (
+                       PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn
+              FROM read_parquet('{_ensure_cdc_fixture()}')
+            ) WHERE rn = 1 AND op <> 'delete'
+        """,
         "fanout_entities": _fanout_entities_sql(),
         "link_targets": _link_targets_sql(),
         "release_cut_join": _release_cut_join_sql(),
@@ -2254,6 +2322,45 @@ def oracle_sql() -> dict[str, str]:
            OR (b.lang IS DISTINCT FROM a.lang)
            OR (b.props IS DISTINCT FROM a.props)
            OR (b.html_sha IS DISTINCT FROM a.html_sha)
+    """
+    out["changelog_retract"] = f"""
+        -- retract feed: the four Flink/Iceberg changelog row kinds
+        -- from the same two LWW states (text/props are functions of
+        -- html/extra; html_sha covers the value compare)
+        WITH snap_a AS (
+          SELECT url, warc_ts, lang, sha256(decode(html)) AS html_sha
+          FROM (
+            SELECT *, row_number() OVER (
+                     PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn
+            FROM read_parquet('{_ensure_cdc_fixture()}') WHERE seq < 1000
+          ) WHERE rn = 1 AND op <> 'delete'
+        ),
+        snap_b AS (
+          SELECT url, warc_ts, lang, sha256(decode(html)) AS html_sha
+          FROM (
+            SELECT *, row_number() OVER (
+                     PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn
+            FROM read_parquet('{_ensure_cdc_fixture()}')
+          ) WHERE rn = 1 AND op <> 'delete'
+        ),
+        upd AS (
+          SELECT a.url AS url,
+                 a.warc_ts AS a_ts, a.lang AS a_lang, a.html_sha AS a_sha,
+                 b.warc_ts AS b_ts, b.lang AS b_lang, b.html_sha AS b_sha
+          FROM snap_b b JOIN snap_a a USING (url)
+          WHERE (b.warc_ts IS DISTINCT FROM a.warc_ts)
+             OR (b.lang IS DISTINCT FROM a.lang)
+             OR (b.html_sha IS DISTINCT FROM a.html_sha)
+        )
+        SELECT 'insert' AS change_type, b.url, b.warc_ts, b.lang, b.html_sha
+        FROM snap_b b LEFT JOIN snap_a a USING (url) WHERE a.url IS NULL
+        UNION ALL
+        SELECT 'delete', a.url, a.warc_ts, a.lang, a.html_sha
+        FROM snap_a a LEFT JOIN snap_b b USING (url) WHERE b.url IS NULL
+        UNION ALL
+        SELECT 'update_before', url, a_ts, a_lang, a_sha FROM upd
+        UNION ALL
+        SELECT 'update_after', url, b_ts, b_lang, b_sha FROM upd
     """
     out["inverted_index_replay"] = f"""
         -- maintained index must equal a from-scratch rebuild over the

@@ -154,3 +154,82 @@ def diff_all(
         .filter(F.col("_change").isNotNull())
         .select(*out_keys, *out_cols, "_change")
     )
+
+
+def diff_changelog(
+    new: DataFrame,
+    old: DataFrame,
+    keys: Sequence[str],
+    exclude: Sequence[str] = (),
+    null_safe: bool = True,
+) -> DataFrame:
+    """Retract-form change feed between two states — the Flink
+    changelog / Iceberg ``create_changelog_view`` row kinds, from the
+    SAME single full-outer join :func:`diff_all` uses:
+
+    - ``insert``         new image of a created key
+    - ``delete``         old image of a deleted key
+    - ``update_before``  old image of an updated key
+    - ``update_after``   new image of an updated key
+
+    Updated keys emit TWO rows (before+after), produced by building a
+    per-key array of image structs and exploding it — still one shuffle,
+    no second join, no window. Downstream consumers can fold the feed
+    into any accumulator that understands retractions (the classic use:
+    keeping a downstream aggregate exactly correct under updates, the
+    mechanism IVM's count-liveness rule applies in operators/ivm.py).
+
+    Column contract: ``_change_type`` plus the shared key/value columns
+    (old side aligned by the caller, as in ``CdcEngine.changelog_view``).
+    """
+    keys = list(keys)
+    cols = _non_key_columns(new, keys, exclude)
+    n = new.select(
+        *[F.col(k).alias(f"_nk_{k}") for k in keys],
+        *[F.col(c).alias(f"_n_{c}") for c in cols],
+        F.lit(True).alias("_in_new"),
+    )
+    o = old.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in keys],
+        *[F.col(c).alias(f"_o_{c}") for c in cols],
+        F.lit(True).alias("_in_old"),
+    )
+    cond = [n[f"_nk_{k}"] == o[f"_ok_{k}"] for k in keys]
+    j = n.join(o, on=cond, how="full_outer")
+
+    def cmp_col(c):
+        dt = new.schema[c].dataType
+        a, b = F.col(f"_n_{c}"), F.col(f"_o_{c}")
+        if isinstance(dt, (ArrayType, MapType, StructType)):
+            a, b = F.to_json(a), F.to_json(b)
+        return ~a.eqNullSafe(b) if null_safe else (a != b)
+
+    differs = F.lit(False)
+    for c in cols:
+        differs = differs | cmp_col(c)
+
+    def image(kind: str, side: str):
+        return F.struct(
+            F.lit(kind).alias("_change_type"),
+            *[F.col(f"_{side}_{c}").alias(c) for c in cols],
+        )
+
+    created = F.col("_in_old").isNull()
+    deleted = F.col("_in_new").isNull()
+    rows = (
+        F.when(created, F.array(image("insert", "n")))
+        .when(deleted, F.array(image("delete", "o")))
+        .when(
+            differs,
+            F.array(image("update_before", "o"), image("update_after", "n")),
+        )
+    )
+    out_keys = [
+        F.coalesce(F.col(f"_nk_{k}"), F.col(f"_ok_{k}")).alias(k) for k in keys
+    ]
+    ex = j.select(*out_keys, F.explode(rows).alias("_img"))
+    return ex.select(
+        F.col("_img._change_type").alias("_change_type"),
+        *keys,
+        *[F.col(f"_img.{c}").alias(c) for c in cols],
+    )
