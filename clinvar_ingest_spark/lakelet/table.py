@@ -904,13 +904,22 @@ class LakeletTable:
         by_slot: dict[int, list[FileEntry]] = {}
         for fe in entries:
             by_slot.setdefault(fe.bucket // width, []).append(fe)
-        segs = []
-        for slot in sorted(by_slot):
+
+        def write_slot(slot: int) -> SegmentRef:
             sr = write_segment(self._seg_dir(), by_slot[slot])
             sr.kind = "range"
             sr.lo = slot * width
             sr.hi = slot * width + width - 1
-            segs.append(sr)
+            return sr
+
+        slots = sorted(by_slot)
+        if len(slots) > 4:  # parallel: each write is an fsync
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=8) as ex:
+                segs = list(ex.map(write_slot, slots))
+        else:
+            segs = [write_slot(s) for s in slots]
         return segs, width
 
     def _advance_segments(
@@ -973,17 +982,24 @@ class LakeletTable:
         for fe in new_entries:
             by_slot_new.setdefault(fe.bucket // width, []).append(fe)
         out: list[SegmentRef] = []
+        # (kind, slot|None, entries) deferred to a parallel write pass —
+        # each segment write is an fsync; a full-batch commit touching
+        # every slot would otherwise serialize ~n_segments fsyncs on the
+        # driver (measured as the cdc-replay regression when segments
+        # first landed)
+        jobs: list[tuple[str, int | None, list[FileEntry]]] = []
         for s in base_segs:
             if s.kind == "delta":
                 ent_buckets = set(s.delta_buckets)
                 if not (ent_buckets & touched) and not legacy_hit(s):
                     out.append(s)
                     continue
+                if not s.specs or set(s.specs) == {m.n_buckets}:
+                    if ent_buckets <= touched:
+                        continue  # every entry dropped — skip the load
                 ents = [f for f in load_segment(seg_dir, s.ref) if keep_entry(f)]
                 if ents:
-                    nsr = write_segment(seg_dir, ents)
-                    nsr.kind = "delta"
-                    out.append(nsr)
+                    jobs.append(("delta", None, ents))
                 continue
             slot = s.lo // width
             if (
@@ -993,20 +1009,35 @@ class LakeletTable:
             ):
                 out.append(s)
                 continue
-            ents = [f for f in load_segment(seg_dir, s.ref) if keep_entry(f)]
+            if (
+                (not s.specs or set(s.specs) == {m.n_buckets})
+                and all(b in touched for b in range(s.lo, s.hi + 1))
+            ):
+                ents = []  # whole slot replaced — skip the load
+            else:
+                ents = [f for f in load_segment(seg_dir, s.ref) if keep_entry(f)]
             ents.extend(by_slot_new.pop(slot, []))
             if ents:
-                nsr = write_segment(seg_dir, ents)
-                nsr.kind = "range"
+                jobs.append(("range", slot, ents))
+        for slot in sorted(by_slot_new):
+            jobs.append(("range", slot, by_slot_new[slot]))
+
+        def write_job(job):
+            kind, slot, ents = job
+            nsr = write_segment(seg_dir, ents)
+            nsr.kind = kind
+            if slot is not None:
                 nsr.lo = slot * width
                 nsr.hi = slot * width + width - 1
-                out.append(nsr)
-        for slot in sorted(by_slot_new):
-            nsr = write_segment(seg_dir, by_slot_new[slot])
-            nsr.kind = "range"
-            nsr.lo = slot * width
-            nsr.hi = slot * width + width - 1
-            out.append(nsr)
+            return nsr
+
+        if len(jobs) > 4:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=8) as ex:
+                out.extend(ex.map(write_job, jobs))
+        else:
+            out.extend(write_job(j) for j in jobs)
         out.sort(key=lambda s: (s.kind != "range", s.lo))
         return out, width
 
@@ -1545,7 +1576,7 @@ def promote_staged_files(
         src, rel, b = job
         dst = os.path.join(table_root, rel)
         os.replace(src, dst)
-        rows, ts_min, ts_max = _parquet_stats(dst)
+        rows, ts_min, ts_max, n_tombs = _parquet_stats(dst)
         key_bloom = None
         if bloom_key is not None:
             import pyarrow.parquet as pq
@@ -1559,7 +1590,7 @@ def promote_staged_files(
             schema_version=schema_version,
             ts_min=ts_min, ts_max=ts_max, kind=kind, key_bloom=key_bloom,
             spec_n=spec_n,
-            n_tombstones=_parquet_tombstones(dst),
+            n_tombstones=n_tombs,
         )
 
     from concurrent.futures import ThreadPoolExecutor
@@ -1600,40 +1631,43 @@ def _parquet_rows(path: str) -> int:
 
 
 def _parquet_stats(path: str, ts_col: str = "warc_ts"):
-    """(rows, ts_min_iso, ts_max_iso) from the parquet footer — no data
-    read. Conservative: any missing stats / null values ⇒ (None, None),
-    so the file is never pruned."""
+    """(rows, ts_min_iso, ts_max_iso, n_tombstones) from ONE parquet
+    footer parse — no data read except a mixed-stats ``_deleted`` group
+    (see :func:`_parquet_tombstones`). Conservative on the ts window:
+    any missing stats / null values ⇒ (None, None), never pruned."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
+    tombs = _parquet_tombstones(path, md=md)
     try:
         ci = md.schema.to_arrow_schema().get_field_index(ts_col)
     except Exception:
         ci = -1
     if ci < 0:
-        return md.num_rows, None, None
+        return md.num_rows, None, None, tombs
     lo = hi = None
     for rg in range(md.num_row_groups):
         st = md.row_group(rg).column(ci).statistics
         if st is None or not st.has_min_max or (st.null_count or 0) > 0:
-            return md.num_rows, None, None
+            return md.num_rows, None, None, tombs
         lo = st.min if lo is None else min(lo, st.min)
         hi = st.max if hi is None else max(hi, st.max)
     if lo is None:
-        return md.num_rows, None, None
-    return md.num_rows, lo.isoformat(), hi.isoformat()
+        return md.num_rows, None, None, tombs
+    return md.num_rows, lo.isoformat(), hi.isoformat(), tombs
 
 
-def _parquet_tombstones(path: str) -> int:
+def _parquet_tombstones(path: str, md=None) -> int:
     """Count ``_deleted`` = true rows, footer-first: row groups whose
     boolean statistics prove all-false (or all-true) cost nothing; only
     a mixed group forces reading the one boolean column (cost ∝ the
     file's own rows — promote-time, never table-wide). Tables without a
-    ``_deleted`` column have no tombstones by construction."""
+    ``_deleted`` column have no tombstones by construction.
+    ``md``: pass an already-parsed footer to avoid a second open."""
     import pyarrow.parquet as pq
 
-    pf = pq.ParquetFile(path)
-    md = pf.metadata
+    if md is None:
+        md = pq.ParquetFile(path).metadata
     try:
         ci = md.schema.to_arrow_schema().get_field_index("_deleted")
     except Exception:
