@@ -49,6 +49,7 @@ class CdcEngine:
         write_mode: str = "cow",
         branch: str | None = None,
         validate: bool | list = False,
+        max_records_per_file: int | None = None,
     ):
         """``strategy``: 'cogroup' (default; per-bucket applyInPandas,
         2 shuffles/batch) or 'join' (full-outer-join formulation,
@@ -105,6 +106,12 @@ class CdcEngine:
             except FileNotFoundError:
                 self.table.create_branch(branch)
                 self.table = self.table.for_branch(branch)
+        # file-size policy: split each bucket's output into files of at
+        # most this many rows (Spark maxRecordsPerFile). At 100 TB a hot
+        # bucket must not become one monolithic file; promotion, reads,
+        # point lookups and compaction handle multi-file buckets
+        # natively, so this is purely a layout knob.
+        self.table.max_records_per_file = max_records_per_file
         self.ledger = Ledger(self.table.ledger_dir)
         self._rules = None
         self.quarantine = None

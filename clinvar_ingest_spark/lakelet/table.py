@@ -191,6 +191,14 @@ class LakeletTable:
         self.manifest_dir = os.path.join(root, "manifests")
         self.data_dir = os.path.join(root, "data")
         self.branch = branch
+        #: split each bucket's output into files of at most this many
+        #: rows (Spark's maxRecordsPerFile; None = one file per bucket
+        #: per commit). At 100 TB a hot bucket must not become one
+        #: monolithic file — parquet scans split fine either way, but
+        #: compaction/promotion granularity and object-store limits
+        #: favor bounded files. Reads/promotion handle multi-file
+        #: buckets natively (tokened ...-{i} names).
+        self.max_records_per_file: int | None = None
         if branch is None:
             # main chain: heads + current cache live next to the manifests
             self.head_dir = self.manifest_dir
@@ -883,6 +891,13 @@ class LakeletTable:
     # make every commit re-serialize O(table-files) JSON). MOR delta
     # commits append ONE new segment and carry everything: O(batch).
 
+    def _writer(self, df: DataFrame):
+        """Overwrite writer with the table's file-size policy applied."""
+        w = df.write.mode("overwrite")
+        if self.max_records_per_file:
+            w = w.option("maxRecordsPerFile", int(self.max_records_per_file))
+        return w
+
     def _carry_file_kwargs(self, m: Manifest) -> dict:
         """Manifest-constructor kwargs that carry ``m``'s file list into
         a metadata-only child commit without hydrating it: segment refs
@@ -1187,7 +1202,7 @@ class LakeletTable:
             # bucket-grouped and skip this shuffle entirely
             to_write = to_write.repartition(max(len(touched_buckets), 1), "_bucket")
         (
-            to_write.write.mode("overwrite")
+            self._writer(to_write)
             .partitionBy("_bucket")
             .parquet(staging)
         )
@@ -1294,7 +1309,7 @@ class LakeletTable:
         to_write = delta_rows.select("_bucket", *cols)
         if not pre_partitioned:
             to_write = to_write.repartition(max(len(touched_buckets), 1), "_bucket")
-        to_write.write.mode("overwrite").partitionBy("_bucket").parquet(staging)
+        self._writer(to_write).partitionBy("_bucket").parquet(staging)
 
         t_write_done = _time.time()
         new_entries = promote_staged_files(

@@ -162,3 +162,37 @@ def test_atomic_current_pointer(table):
 
     with open(p) as f:
         assert "snapshot_id" in json.load(f)
+
+
+def test_max_records_per_file_splits_buckets(spark, tmp_path):
+    """File-size policy: a bucket's commit output splits into bounded
+    files (Spark maxRecordsPerFile); state, point lookups, and manifest
+    row accounting are unchanged vs the one-file-per-bucket default."""
+    from clinvar_ingest_spark.engine import CdcEngine
+    from clinvar_ingest_spark.sources.changelog import (
+        ChangelogSpec,
+        generate_changelog,
+        write_changelog_parquet,
+    )
+
+    p = str(tmp_path / "cl.parquet")
+    write_changelog_parquet(
+        generate_changelog(ChangelogSpec(n_events=2000, n_urls=600, seed=3)), p
+    )
+    cl = spark.read.parquet(p)
+    split = CdcEngine(
+        spark, str(tmp_path / "split"), n_buckets=4, max_records_per_file=40
+    )
+    split.replay(cl, batch_size=2000)
+    plain = CdcEngine(spark, str(tmp_path / "plain"), n_buckets=4)
+    plain.replay(cl, batch_size=2000)
+    assert split.state_hash() == plain.state_hash()
+    m = split.table.manifest()
+    per_bucket: dict[int, int] = {}
+    for f in m.files:
+        assert f.rows <= 40
+        per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+    assert max(per_bucket.values()) > 1  # buckets actually split
+    assert int(m.summary["total_rows"]) == sum(f.rows for f in m.files)
+    url = split.pages().select("url").first()["url"]
+    assert split.table.read_key(spark, url).count() == 1
