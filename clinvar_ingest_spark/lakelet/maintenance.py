@@ -235,6 +235,7 @@ def expire_snapshots(
     keep_last: int = 3,
     also_keep: set[str] | frozenset[str] = frozenset(),
     in_flight_grace_secs: float = 0.0,
+    older_than_secs: float | None = None,
 ) -> dict:
     """Expire all but the last ``keep_last`` snapshots of the current
     chain, then garbage-collect data files no surviving manifest
@@ -243,6 +244,12 @@ def expire_snapshots(
     release-pinned cut can never be GC'd out from under an AS-OF
     reader (use :func:`clinvar_ingest_spark.lakelet.release
     .expire_releases` for the release-aware sweep).
+
+    ``older_than_secs``: Iceberg's retention-by-age form — only
+    snapshots whose ``committed_at`` is older than now − this many
+    seconds are expirable (on top of keep_last/pins; a snapshot
+    without a stamp — genesis — is conservatively KEPT). Both
+    retention rules must agree before anything expires.
 
     ``in_flight_grace_secs``: with OPTIMISTIC multi-writer commits a
     concurrent writer may have written its manifest (or promoted data
@@ -288,8 +295,15 @@ def expire_snapshots(
         if name.startswith("_") or name.startswith("head-"):
             continue
         sid = name[:-5]
-        if sid not in keep and not _in_grace(p):
-            expired.append(sid)
+        if sid in keep or _in_grace(p):
+            continue
+        if older_than_secs is not None:
+            at = read_json(p).get("summary", {}).get("committed_at")
+            # conservative retention: an unstamped manifest (genesis,
+            # pre-stamp era) is KEPT — age-based GC must never guess old
+            if at is None or now - at < older_than_secs:
+                continue
+        expired.append(sid)
 
     # phase 0: record the expired ids (audit trail; lets operators
     # distinguish "snapshot expired" from "snapshot never existed")

@@ -155,3 +155,32 @@ def test_rebucket_crash_retry_reconverges(spark, tmp_path):
         for f in g.glob(os.path.join(t.data_dir, "*.parquet"))
     }
     assert on_disk <= live, f"orphans: {sorted(on_disk - live)[:5]}"
+
+
+def test_expire_by_age(spark, tmp_path):
+    """Iceberg retention-by-age: only snapshots older than the window
+    expire, layered on keep_last/pins."""
+    from clinvar_ingest_spark.engine import CdcEngine
+    from clinvar_ingest_spark.lakelet.maintenance import expire_snapshots
+    from clinvar_ingest_spark.sources.changelog import (
+        ChangelogSpec,
+        generate_changelog,
+        write_changelog_parquet,
+    )
+
+    p = str(tmp_path / "cl.parquet")
+    write_changelog_parquet(
+        generate_changelog(ChangelogSpec(n_events=2000, n_urls=300, seed=9)), p
+    )
+    cl = spark.read.parquet(p)
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=8)
+    eng.replay(cl, batch_size=500)  # 4 commits
+    t = eng.table
+    n_hist = len(t.history())
+    # everything is seconds old: a 1-hour window expires nothing
+    res = expire_snapshots(t, keep_last=1, older_than_secs=3600)
+    assert res["expired"] == [] and len(t.history()) == n_hist
+    # zero-age window: back to pure keep_last semantics
+    res = expire_snapshots(t, keep_last=1, older_than_secs=0)
+    assert res["expired"]
+    assert len(t.history()) == 1

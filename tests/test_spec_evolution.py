@@ -228,3 +228,36 @@ def test_double_grow_nested_specs(spark, changelog_path, tmp_path):
     )
     specs = {f.spec_n for f in eng3.table.manifest().files}
     assert 128 in specs  # new writes under the final spec
+
+
+def test_diff_pruning_correct_with_legacy_files(spark, changelog_path, tmp_path):
+    """diff_snapshots' changed-bucket pruning must stay exact when the
+    hop's rewrites replaced legacy-spec files: the changed labels mix
+    old- and new-spec bucket ids, and the compat read resolves both."""
+    from pyspark.sql import functions as F
+
+    cl = spark.read.parquet(changelog_path)
+    root = str(tmp_path / "t")
+    eng = CdcEngine(spark, root, n_buckets=16)
+    eng.replay(cl, batch_size=1000)
+    t = eng.table
+    t.grow_buckets(64)
+    pre = t.current_snapshot_id()
+    url = eng.pages().select("url").first()["url"]
+    src = eng.pages().filter(F.col("url") == url).first()
+    batch = spark.createDataFrame(
+        [(9000, "update", url, "2030-06-01 00:00:00", bytes(src["html"]),
+          src["lang"], 1, None)],
+        schema="seq long, op string, url string, warc_ts string, "
+        "html binary, lang string, schema_ver int, extra string",
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    eng.apply_batch(batch, 9000, 9000)
+    post = t.current_snapshot_id()
+    d = eng.diff_snapshots(pre, post).collect()
+    assert len(d) == 1
+    assert d[0]["url"] == url and d[0]["_change"] == "updated"
+    # the retract view over the same hop: exactly one before/after pair
+    kinds = sorted(
+        r["_change_type"] for r in eng.changelog_view(pre, post).collect()
+    )
+    assert kinds == ["update_after", "update_before"]
