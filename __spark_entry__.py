@@ -1377,6 +1377,44 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(tmp, "out"))
 
 
+def q_stream_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retract-form CDC as a REAL streaming job: the fixture changelog
+    split into two segments, one segment per micro-batch
+    (maxFilesPerTrigger=1), through the applyInPandasWithState retract
+    feed — the state store holds each key's previous winner, so every
+    LWW change emits Flink-changelog row kinds (insert / delete with
+    the deleted image / update_before+update_after). With pinned
+    per-segment batches the emitted set is exactly hop(∅→snap_a) ∪
+    hop(snap_a→snap_b), which the oracle recomputes in SQL (winner
+    change ⟺ winning seq change — seq is the event's unique id)."""
+    import tempfile
+    import uuid
+
+    from clinvar_ingest_spark.sources.changelog import write_changelog_parquet
+    from clinvar_ingest_spark.streaming.stateful import run_retract_feed
+
+    clp = _ensure_cdc_fixture()
+    tmp = tempfile.mkdtemp(prefix="stream_retract_")
+    seg_dir = os.path.join(tmp, "segs")
+    os.makedirs(seg_dir)
+    pdf = __import__("pandas").read_parquet(clp)
+    write_changelog_parquet(
+        pdf[pdf["seq"] < 1000], os.path.join(seg_dir, "seg-00.parquet")
+    )
+    write_changelog_parquet(
+        pdf[pdf["seq"] >= 1000], os.path.join(seg_dir, "seg-01.parquet")
+    )
+    name = f"retract_{uuid.uuid4().hex[:8]}"
+    q = run_retract_feed(
+        spark, seg_dir, os.path.join(tmp, "ckpt"), query_name=name,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    if q.isActive:  # pragma: no cover - safety net
+        q.stop()
+    return spark.sql(f"SELECT change_type, url, warc_ts, lang, seq FROM {name}")
+
+
 def q_inverted_index_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained inverted index (round 3 continuation):
     a token → posting-list lakelet table (array<string> payload — the
@@ -1668,6 +1706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index_replay": q_inverted_index_replay,
         "table_changes": q_table_changes,
         "changelog_retract": q_changelog_retract,
+        "stream_retract": q_stream_retract,
         "snapshot_history": q_snapshot_history,
         "quarantine_routing": q_quarantine_routing,
         "corpus_quantiles": q_corpus_quantiles,
@@ -2361,6 +2400,49 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'update_before', url, a_ts, a_lang, a_sha FROM upd
         UNION ALL
         SELECT 'update_after', url, b_ts, b_lang, b_sha FROM upd
+    """
+    out["stream_retract"] = f"""
+        -- streaming retract feed with one segment per micro-batch ==
+        -- hop(empty -> snap_a) UNION hop(snap_a -> snap_b); winner
+        -- change <=> winning seq change (seq is the unique event id)
+        WITH win_a AS (
+          SELECT url, warc_ts, lang, seq, op FROM (
+            SELECT *, row_number() OVER (
+                     PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn
+            FROM read_parquet('{_ensure_cdc_fixture()}') WHERE seq < 1000
+          ) WHERE rn = 1
+        ),
+        win_b AS (
+          SELECT url, warc_ts, lang, seq, op FROM (
+            SELECT *, row_number() OVER (
+                     PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn
+            FROM read_parquet('{_ensure_cdc_fixture()}')
+          ) WHERE rn = 1
+        ),
+        j AS (
+          SELECT a.url AS a_url, a.warc_ts AS a_ts, a.lang AS a_lang,
+                 a.seq AS a_seq, a.op AS a_op,
+                 b.url AS b_url, b.warc_ts AS b_ts, b.lang AS b_lang,
+                 b.seq AS b_seq, b.op AS b_op
+          FROM win_b b LEFT JOIN win_a a ON a.url = b.url
+        )
+        SELECT 'insert' AS change_type, url, warc_ts, lang, seq
+        FROM win_a WHERE op <> 'delete'
+        UNION ALL
+        SELECT 'update_before', a_url, a_ts, a_lang, a_seq FROM j
+        WHERE a_url IS NOT NULL AND a_op <> 'delete' AND b_op <> 'delete'
+          AND b_seq <> a_seq
+        UNION ALL
+        SELECT 'update_after', b_url, b_ts, b_lang, b_seq FROM j
+        WHERE a_url IS NOT NULL AND a_op <> 'delete' AND b_op <> 'delete'
+          AND b_seq <> a_seq
+        UNION ALL
+        SELECT 'delete', a_url, a_ts, a_lang, a_seq FROM j
+        WHERE a_url IS NOT NULL AND a_op <> 'delete' AND b_op = 'delete'
+        UNION ALL
+        SELECT 'insert', b_url, b_ts, b_lang, b_seq FROM j
+        WHERE (a_url IS NULL OR a_op = 'delete') AND b_op <> 'delete'
+          AND (a_seq IS NULL OR b_seq <> a_seq)
     """
     out["inverted_index_replay"] = f"""
         -- maintained index must equal a from-scratch rebuild over the
