@@ -183,6 +183,57 @@ def sort_rewrite(
     )
 
 
+def rewrite_small_files(
+    spark: SparkSession,
+    table: LakeletTable,
+    min_files: int = 2,
+) -> str:
+    """Bin-pack maintenance pass (Iceberg ``rewrite_data_files``
+    bin-pack strategy): COW-rewrite every bucket fragmented into
+    ``min_files`` or more base files — accumulated from
+    ``max_records_per_file`` splits, multi-task writes, or repeated
+    partial compactions — back to the table's current file-size policy
+    (one file per bucket unless ``max_records_per_file`` splits it).
+
+    A logically-empty commit: live state, schema, and bucket layout are
+    unchanged (state-hash invariant); only file granularity changes.
+    Buckets already at a single base file — and any bucket carrying MOR
+    deltas (fold those with ``CdcEngine.compact`` first; folding is a
+    semantic rewrite, bin-packing is layout-only) — are left alone.
+    Legacy-spec files are migrated by the same closure rule as every
+    rewrite. Idempotent by deterministic snapshot id; returns the new
+    id (current id when nothing is fragmented).
+    """
+    from pyspark.sql import functions as F  # noqa: F401  (parity w/ peers)
+
+    m = table.manifest()
+    per_bucket: dict[int, int] = {}
+    delta_buckets = set()
+    for f in m.files:
+        per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+        if f.kind == "delta":
+            delta_buckets.add(f.bucket)
+    frag = [
+        b
+        for b, n in per_bucket.items()
+        if n >= min_files and b not in delta_buckets
+    ]
+    if not frag:
+        return m.snapshot_id
+    touched = table.rewrite_closure(frag)
+    batch_id = f"binpack:{min_files}:{m.snapshot_id}"
+    sid = snapshot_id_for(m.snapshot_id, batch_id, m.schema_version)
+    if table._is_committed_child(sid, m):
+        return sid
+    rows = table.read(spark, buckets=touched).withColumn(
+        "_bucket", bucket_expr(table.key_col, m.n_buckets)
+    )
+    return table.commit_rewrite(
+        spark, rows, touched, batch_id=batch_id,
+        expected_parent_id=m.snapshot_id,
+    )
+
+
 def purge_tombstones(
     spark: SparkSession,
     table: LakeletTable,

@@ -37,6 +37,9 @@ def main(argv: list[str] | None = None) -> int:
                         "alone (in-flight multi-writer protection)")
     p.add_argument("--purge-tombstones-before", metavar="TS",
                    help="drop delete tombstones with warc_ts < TS (ISO)")
+    p.add_argument("--binpack", type=int, metavar="MIN_FILES",
+                   help="bin-pack buckets fragmented into >= MIN_FILES "
+                        "base files back to the file-size policy")
     p.add_argument("--sort-by", metavar="COLS",
                    help="comma-separated columns: cluster each bucket's "
                         "rows in this order (tight row-group stats)")
@@ -51,6 +54,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.expire_keep is not None
         or args.purge_tombstones_before
         or args.sort_by
+        or args.binpack
     ):
         p.error("pick at least one maintenance operation")
 
@@ -59,6 +63,7 @@ def main(argv: list[str] | None = None) -> int:
         expire_snapshots,
         purge_tombstones,
         rebucket,
+        rewrite_small_files,
         sort_rewrite,
     )
     from clinvar_ingest_spark.session import get_spark
@@ -72,6 +77,10 @@ def main(argv: list[str] | None = None) -> int:
         out["rebucket_snapshot"] = rebucket(spark, eng.table, args.rebucket)
     if args.grow_buckets:
         out["grow_snapshot"] = eng.table.grow_buckets(args.grow_buckets)
+    if args.binpack:
+        out["binpack_snapshot"] = rewrite_small_files(
+            spark, eng.table, min_files=args.binpack
+        )
     if args.purge_tombstones_before:
         out["purge_snapshot"] = purge_tombstones(
             spark, eng.table, args.purge_tombstones_before

@@ -196,3 +196,43 @@ def test_max_records_per_file_splits_buckets(spark, tmp_path):
     assert int(m.summary["total_rows"]) == sum(f.rows for f in m.files)
     url = split.pages().select("url").first()["url"]
     assert split.table.read_key(spark, url).count() == 1
+
+
+def test_rewrite_small_files_binpacks(spark, tmp_path):
+    """Bin-pack pass: fragmented buckets (from max_records_per_file)
+    collapse back to the current policy; state invariant; idempotent."""
+    from clinvar_ingest_spark.engine import CdcEngine
+    from clinvar_ingest_spark.lakelet.maintenance import rewrite_small_files
+    from clinvar_ingest_spark.sources.changelog import (
+        ChangelogSpec,
+        generate_changelog,
+        write_changelog_parquet,
+    )
+
+    p = str(tmp_path / "cl.parquet")
+    write_changelog_parquet(
+        generate_changelog(ChangelogSpec(n_events=2000, n_urls=600, seed=3)), p
+    )
+    cl = spark.read.parquet(p)
+    eng = CdcEngine(
+        spark, str(tmp_path / "t"), n_buckets=4, max_records_per_file=40
+    )
+    eng.replay(cl, batch_size=2000)
+    h = eng.state_hash()
+    ht = eng.state_hash(include_tombstones=True)
+    t = eng.table
+    frag_before = max(
+        sum(1 for f in t.manifest().files if f.bucket == b) for b in range(4)
+    )
+    assert frag_before > 1
+    t.max_records_per_file = None  # policy change: pack to 1 file/bucket
+    sid = rewrite_small_files(spark, t)
+    m = t.manifest()
+    per_bucket = {}
+    for f in m.files:
+        per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+    assert max(per_bucket.values()) == 1
+    assert eng.state_hash() == h
+    assert eng.state_hash(include_tombstones=True) == ht
+    # idempotent: nothing fragmented now
+    assert rewrite_small_files(spark, t) == sid
