@@ -88,6 +88,7 @@ def rebucket(
     new_entries = promote_staged_files(
         table.root, staging, sid, token, m.schema_version,
         spec_n=new_n_buckets,
+        stat_cols=m.summary.get("stats_cols") or (),
     )
     import shutil
 

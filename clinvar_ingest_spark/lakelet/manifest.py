@@ -108,6 +108,13 @@ class FileEntry:
     #: unknown (legacy entries) — metadata-only live counts fall back
     #: to a scan. Iceberg's snapshot-summary / count-pushdown analogue.
     n_tombstones: int | None = None
+    #: per-column [min, max] footer bounds for the table's declared
+    #: ``stats_cols`` (Iceberg column-stats file skipping, generalizing
+    #: the built-in warc_ts window). Bounds are JSON-safe (timestamps
+    #: ISO). Parquet may truncate long string bounds, but the spec
+    #: requires truncated bounds to stay VALID bounds, so pruning on
+    #: them is sound. Missing column / missing stats ⇒ never pruned.
+    col_stats: dict | None = None
 
     def to_json(self) -> dict:
         d = asdict(self)
@@ -117,6 +124,8 @@ class FileEntry:
             d.pop("spec_n", None)
         if d.get("n_tombstones") is None:
             d.pop("n_tombstones", None)
+        if d.get("col_stats") is None:
+            d.pop("col_stats", None)
         return d
 
     @staticmethod

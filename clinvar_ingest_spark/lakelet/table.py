@@ -220,12 +220,19 @@ class LakeletTable:
         columns: Sequence[ColumnSpec] | None = None,
         n_buckets: int = 16,
         key_col: str = "url",
+        stats_cols: Sequence[str] | None = None,
     ) -> "LakeletTable":
         t = cls(root)
         if os.path.exists(t._current_path()):
             return t  # idempotent create
         columns = list(columns or PAGES_COLUMNS)
         sid = snapshot_id_for(None, "genesis", 1)
+        summary = {"total_rows": 0, "key_col": key_col, "commit_seq": 0}
+        if stats_cols:
+            # columns whose per-file [min,max] footer bounds land in the
+            # manifest (Iceberg column-stats file skipping); change
+            # later with set_stats_cols
+            summary["stats_cols"] = list(stats_cols)
         m = Manifest(
             snapshot_id=sid,
             parent_id=None,
@@ -235,7 +242,7 @@ class LakeletTable:
             schemas={1: columns},
             segments=[],
             segment_width=default_segment_width(n_buckets),
-            summary={"total_rows": 0, "key_col": key_col, "commit_seq": 0},
+            summary=summary,
         )
         t._write_manifest(m)
         try:
@@ -697,6 +704,7 @@ class LakeletTable:
         ts_not_before: str | None = None,
         ts_not_after: str | None = None,
         resolve: bool = True,
+        where_between: dict | None = None,
     ) -> DataFrame:
         """DataFrame of a snapshot (current by default), optionally pruned
         to a bucket subset and/or a ``warc_ts`` window (manifest-level
@@ -733,10 +741,12 @@ class LakeletTable:
             files = [f for f in in_buckets if f.bucket in delta_buckets]
             files += select_files(
                 [f for f in in_buckets if f.bucket not in delta_buckets],
-                None, ts_not_before, ts_not_after,
+                None, ts_not_before, ts_not_after, where_between,
             )
         else:
-            files = select_files(in_buckets, None, ts_not_before, ts_not_after)
+            files = select_files(
+                in_buckets, None, ts_not_before, ts_not_after, where_between
+            )
         if not files:
             return spark.createDataFrame([], schema=target_schema)
         out = self._read_entries(spark, m, files)
@@ -1211,6 +1221,7 @@ class LakeletTable:
         new_entries = promote_staged_files(
             self.root, staging, sid, token, m.schema_version,
             spec_n=m.n_buckets,
+            stat_cols=m.summary.get("stats_cols") or (),
         )
         _rmtree(staging)
 
@@ -1316,6 +1327,7 @@ class LakeletTable:
             self.root, staging, sid, token, m.schema_version, kind="delta",
             bloom_key=m.summary.get("key_col", "url"),
             spec_n=m.n_buckets,
+            stat_cols=m.summary.get("stats_cols") or (),
         )
         _rmtree(staging)
 
@@ -1355,6 +1367,35 @@ class LakeletTable:
             summary=new_summary,
         )
         self._commit_manifest(nm, m, cleanup_paths=[f.path for f in new_entries])
+        return sid
+
+    def set_stats_cols(self, cols: Sequence[str], batch_id: str | None = None) -> str:
+        """Declare the columns whose per-file [min,max] footer bounds
+        land in the manifest from the NEXT data commit on (Iceberg
+        column-stats file skipping). Metadata-only commit: existing
+        files keep whatever stats they were promoted with; a
+        sort_rewrite / binpack pass refreshes the whole table under the
+        new declaration."""
+        m = self.manifest()
+        if list(m.summary.get("stats_cols") or []) == list(cols):
+            return m.snapshot_id
+        batch_id = batch_id or f"stats_cols:{','.join(cols)}:{m.snapshot_id}"
+        sid = snapshot_id_for(m.snapshot_id, batch_id, m.schema_version)
+        if self._is_committed_child(sid, m):
+            return sid
+        summary = dict(m.summary)
+        summary["stats_cols"] = list(cols)
+        nm = Manifest(
+            snapshot_id=sid,
+            parent_id=m.snapshot_id,
+            batch_id=batch_id,
+            schema_version=m.schema_version,
+            n_buckets=m.n_buckets,
+            schemas=m.schemas,
+            **self._carry_file_kwargs(m),
+            summary=summary,
+        )
+        self._commit_manifest(nm, m)
         return sid
 
     # --------------------------------------------------- partition-spec grow
@@ -1566,6 +1607,7 @@ def promote_staged_files(
     kind: str = "base",
     bloom_key: str | None = None,
     spec_n: int | None = None,
+    stat_cols=(),
 ) -> list[FileEntry]:
     """THE promotion protocol (shared by commit_rewrite and rebucket —
     a second copy is how the missing-token crash-retry bug happened):
@@ -1591,7 +1633,9 @@ def promote_staged_files(
         src, rel, b = job
         dst = os.path.join(table_root, rel)
         os.replace(src, dst)
-        rows, ts_min, ts_max, n_tombs = _parquet_stats(dst)
+        rows, ts_min, ts_max, n_tombs, col_stats = _parquet_stats(
+            dst, stat_cols=stat_cols
+        )
         key_bloom = None
         if bloom_key is not None:
             import pyarrow.parquet as pq
@@ -1606,6 +1650,7 @@ def promote_staged_files(
             ts_min=ts_min, ts_max=ts_max, kind=kind, key_bloom=key_bloom,
             spec_n=spec_n,
             n_tombstones=n_tombs,
+            col_stats=col_stats,
         )
 
     from concurrent.futures import ThreadPoolExecutor
@@ -1645,31 +1690,51 @@ def _parquet_rows(path: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
-def _parquet_stats(path: str, ts_col: str = "warc_ts"):
-    """(rows, ts_min_iso, ts_max_iso, n_tombstones) from ONE parquet
-    footer parse — no data read except a mixed-stats ``_deleted`` group
-    (see :func:`_parquet_tombstones`). Conservative on the ts window:
-    any missing stats / null values ⇒ (None, None), never pruned."""
-    import pyarrow.parquet as pq
-
-    md = pq.ParquetFile(path).metadata
-    tombs = _parquet_tombstones(path, md=md)
+def _footer_min_max(md, name: str):
+    """[min, max] for one column from row-group statistics, or None
+    when any group lacks exact stats / holds nulls (never pruned).
+    Timestamps are ISO-encoded so bounds are JSON-safe and string-
+    comparable, matching the manifest's warc_ts convention."""
     try:
-        ci = md.schema.to_arrow_schema().get_field_index(ts_col)
+        ci = md.schema.to_arrow_schema().get_field_index(name)
     except Exception:
         ci = -1
     if ci < 0:
-        return md.num_rows, None, None, tombs
+        return None
     lo = hi = None
     for rg in range(md.num_row_groups):
         st = md.row_group(rg).column(ci).statistics
         if st is None or not st.has_min_max or (st.null_count or 0) > 0:
-            return md.num_rows, None, None, tombs
+            return None
         lo = st.min if lo is None else min(lo, st.min)
         hi = st.max if hi is None else max(hi, st.max)
     if lo is None:
-        return md.num_rows, None, None, tombs
-    return md.num_rows, lo.isoformat(), hi.isoformat(), tombs
+        return None
+    if hasattr(lo, "isoformat"):
+        return [lo.isoformat(), hi.isoformat()]
+    if isinstance(lo, bytes):
+        return None  # binary bounds aren't JSON/compare-safe
+    return [lo, hi]
+
+
+def _parquet_stats(path: str, ts_col: str = "warc_ts", stat_cols=()):
+    """(rows, ts_min_iso, ts_max_iso, n_tombstones, col_stats) from ONE
+    parquet footer parse — no data read except a mixed-stats
+    ``_deleted`` group (see :func:`_parquet_tombstones`). Conservative:
+    any missing stats / null values ⇒ no bound, never pruned."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    tombs = _parquet_tombstones(path, md=md)
+    ts = _footer_min_max(md, ts_col)
+    cs = {}
+    for c in stat_cols or ():
+        mm = _footer_min_max(md, c)
+        if mm is not None:
+            cs[c] = mm
+    if ts is None:
+        return md.num_rows, None, None, tombs, (cs or None)
+    return md.num_rows, ts[0], ts[1], tombs, (cs or None)
 
 
 def _parquet_tombstones(path: str, md=None) -> int:
@@ -1713,11 +1778,19 @@ def select_files(
     buckets=None,
     ts_not_before: str | None = None,
     ts_not_after: str | None = None,
+    where_between: dict | None = None,
 ):
-    """Manifest-level file pruning: bucket subset + warc_ts window
-    overlap via per-file footer stats (files without stats always kept).
-    The read-side analogue of Iceberg's file-stats skipping — pruning
-    happens BEFORE Spark plans the scan."""
+    """Manifest-level file pruning: bucket subset + warc_ts window +
+    generic per-column range overlap via per-file footer stats (files
+    without stats always kept). The read-side analogue of Iceberg's
+    file-stats skipping — pruning happens BEFORE Spark plans the scan.
+
+    ``where_between``: {col: (lo, hi)} — keep a file only if its
+    [min,max] bound for ``col`` overlaps [lo, hi] (either side None =
+    unbounded). Only columns declared via ``stats_cols`` carry bounds;
+    everything else passes through. ADVISORY like the ts window: kept
+    files may still hold rows outside the range, so callers keep their
+    row filter."""
     # normalize 'YYYY-MM-DD hh:mm:ss' → ISO 'T' so string compare is valid
     ts_not_before = ts_not_before.replace(" ", "T") if ts_not_before else None
     ts_not_after = ts_not_after.replace(" ", "T") if ts_not_after else None
@@ -1729,6 +1802,20 @@ def select_files(
             continue
         if ts_not_after and f.ts_min is not None and f.ts_min > ts_not_after:
             continue
+        if where_between:
+            cs = f.col_stats or {}
+            skip = False
+            for col, (lo, hi) in where_between.items():
+                mm = cs.get(col)
+                if mm is None:
+                    continue  # no bound — never pruned
+                if (hi is not None and mm[0] > hi) or (
+                    lo is not None and mm[1] < lo
+                ):
+                    skip = True
+                    break
+            if skip:
+                continue
         out.append(f)
     return out
 
