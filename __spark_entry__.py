@@ -364,6 +364,24 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_exact(_t(spark, sf_dir, "documents"))
 
 
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide segment-level dedup (RefinedWeb line-dedup recipe):
+    first global occurrence of every 4-token segment wins, documents
+    reassembled from survivors. md5 of the reassembled text keeps the
+    oracle value compact while still proving byte-identity."""
+    from clinvar_ingest_spark.operators.dedupe import segment_dedup
+
+    out = segment_dedup(
+        _t(spark, sf_dir, "documents"), id_col="doc_id", seg_tokens=4
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_segs",
+        "n_kept",
+        F.md5("text_dedup").alias("dedup_md5"),
+    )
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clinvar_ingest_spark.functions.text import quality_columns
 
@@ -1659,6 +1677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_revenue": q_order_revenue,
         "revenue_by_nation": q_revenue_by_nation,
         "dedup_exact": q_dedup_exact,
+        "segment_dedup": q_segment_dedup,
         "text_quality": q_text_quality,
         "fingerprint_docs": q_fingerprint_docs,
         "lang_id": q_lang_id,
@@ -1865,6 +1884,44 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_dups,
                    sha256(text) AS text_hash
             FROM documents GROUP BY sha256(text)
+        """,
+        "segment_dedup": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+              FROM documents
+            ),
+            flat AS (
+              SELECT doc_id, s.pos AS pos, s.seg AS seg FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                         range(0, greatest(CAST(ceil(len(t)/4.0) AS BIGINT), 1)),
+                         j -> struct_pack(
+                                pos := j,
+                                seg := array_to_string(t[(j*4+1):(j*4+4)], ' '))))
+                         AS s
+                FROM toks)
+            ),
+            w AS (
+              SELECT doc_id, pos, seg,
+                     doc_id*1000000 + pos AS ord,
+                     min(doc_id*1000000 + pos) OVER (PARTITION BY seg) AS wmin
+              FROM flat
+            ),
+            kept AS (SELECT doc_id, pos, seg FROM w WHERE ord = wmin),
+            agg AS (
+              SELECT doc_id, count(*) AS n_kept,
+                     string_agg(seg, ' ' ORDER BY pos) AS text_dedup
+              FROM kept GROUP BY doc_id
+            ),
+            tot AS (
+              SELECT doc_id,
+                     greatest(CAST(ceil(len(t)/4.0) AS BIGINT), 1) AS n_segs
+              FROM toks
+            )
+            SELECT t.doc_id, t.n_segs,
+                   COALESCE(a.n_kept, 0) AS n_kept,
+                   md5(COALESCE(a.text_dedup, '')) AS dedup_md5
+            FROM tot t LEFT JOIN agg a USING (doc_id)
         """,
         "text_quality": r"""
             SELECT doc_id,

@@ -526,3 +526,80 @@ def simhash_near_pairs(
     return cands.withColumn("hamming", ham).filter(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
+
+
+# ------------------------------------------------------- segment-level dedup
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 4,
+) -> DataFrame:
+    """Corpus-wide segment-level exact dedup with document reassembly —
+    the RefinedWeb/CCNet "line dedup" recipe (keep one copy of every
+    repeated paragraph ACROSS documents, not just whole-doc dups),
+    adapted to boundary-free text: a "segment" is a non-overlapping
+    ``seg_tokens``-token window. Generalizes the reference's row-level
+    dedupByDate (ArchiveBranches.scala:140-156) to sub-document
+    granularity.
+
+    Keeper rule (deterministic, both engines): the globally FIRST
+    occurrence of a segment wins — min over ``ord = id*10^6 + pos``
+    (requires integer ids and < 10^6 segments/doc, asserted by the
+    corpus contract n_chars ≤ ~10^6). Every other occurrence is dropped
+    and each document is reassembled from its surviving segments in
+    original order.
+
+    Plan: ONE shuffle on the segment string (window min — no
+    groupBy+join double-shuffle of the exploded corpus), then one
+    shuffle on the doc id for reassembly. Shuffle volume ≈ corpus
+    tokens; the hottest segment bounds the largest window partition
+    (boilerplate segments — at web scale pre-cap them with a
+    document-frequency guard like :func:`jaccard_candidate_pairs`).
+
+    Returns (id, n_segs, n_kept, text_dedup) — n_kept = 0 and
+    text_dedup = '' for a document made entirely of segments seen
+    earlier (fully-boilerplate docs vanish, the RefinedWeb behavior).
+    """
+    from pyspark.sql.window import Window
+
+    toks = tokenize(F.col(text_col))
+    n_segs = F.greatest(
+        F.ceil(F.size(toks) / F.lit(float(seg_tokens))).cast("bigint"), F.lit(1)
+    )
+    k = seg_tokens
+    flat = df.select(
+        F.col(id_col).alias("id"),
+        n_segs.alias("n_segs"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), (n_segs - 1).cast("int")),
+                lambda j: F.array_join(F.slice(toks, j * k + 1, k), " "),
+            )
+        ).alias("pos", "seg"),
+    ).withColumn("ord", F.col("id") * 1_000_000 + F.col("pos"))
+    wmin = F.min("ord").over(Window.partitionBy("seg"))
+    kept = flat.withColumn("_w", wmin).filter(F.col("ord") == F.col("_w"))
+    agg = kept.groupBy("id", "n_segs").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+    # docs whose every segment lost: reattach with n_kept=0 / empty text
+    base = df.select(F.col(id_col).alias("id"), n_segs.alias("n_segs"))
+    return (
+        base.join(agg, ["id", "n_segs"], "left")
+        .select(
+            "id",
+            "n_segs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        )
+    )

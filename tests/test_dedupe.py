@@ -198,3 +198,47 @@ def test_simhash_near_pairs(docs):
         for r in dedupe.simhash_near_pairs(docs, max_hamming=10).collect()
     }
     assert (0, 1) in pairs and (3, 5) in pairs
+
+
+# ------------------------------------------------------- segment-level dedup
+
+
+def test_segment_dedup_keeper_and_reassembly(spark):
+    # k=2 segments: doc 0 = ["a b","c d"], doc 1 = ["c d","e f"],
+    # doc 2 = ["a b","c d"] (fully boilerplate), doc 3 unique.
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d"),
+            (1, "c d e f"),
+            (2, "a b c d"),
+            (3, "x y z"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["id"]: r
+        for r in dedupe.segment_dedup(docs, seg_tokens=2).collect()
+    }
+    # doc 0 holds the first occurrence of both its segments
+    assert (out[0]["n_segs"], out[0]["n_kept"]) == (2, 2)
+    assert out[0]["text_dedup"] == "a b c d"
+    # doc 1 loses "c d" (doc 0 pos 1 < doc 1 pos 0), keeps "e f"
+    assert (out[1]["n_segs"], out[1]["n_kept"]) == (2, 1)
+    assert out[1]["text_dedup"] == "e f"
+    # doc 2 is entirely segments seen earlier -> vanishes
+    assert (out[2]["n_segs"], out[2]["n_kept"]) == (2, 0)
+    assert out[2]["text_dedup"] == ""
+    # doc 3: 3 tokens / k=2 -> 2 segments ("x y", "z"), both unique
+    assert (out[3]["n_segs"], out[3]["n_kept"]) == (2, 2)
+    assert out[3]["text_dedup"] == "x y z"
+
+
+def test_segment_dedup_single_shuffle_plan(spark):
+    """The winner selection is a window min over the segment key — the
+    exploded corpus must cross exactly ONE Exchange before the doc-id
+    reassembly (no groupBy+join double shuffle)."""
+    docs = spark.createDataFrame([(0, "a b c d")], ["doc_id", "text"])
+    plan = dedupe.segment_dedup(docs, seg_tokens=2)._jdf.queryExecution().toString()
+    # one exchange on seg (window) + one on id (reassembly) + one on the
+    # left-join reattach key at most; never an exchange-per-stage blowup
+    assert plan.count("Exchange hashpartitioning") <= 3
