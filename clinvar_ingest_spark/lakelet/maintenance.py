@@ -443,3 +443,97 @@ def expire_snapshots(
         "deleted_files": deleted,
         "deleted_segments": deleted_segs,
     }
+
+
+# ------------------------------------------------------------------ clone
+
+
+def clone_table(
+    src,
+    dest_root: str,
+    snapshot_id: str | None = None,
+    deep: bool = False,
+):
+    """Metadata-only table clone — Delta ``SHALLOW CLONE`` / Iceberg
+    snapshot-table analogue. Creates a NEW table root whose genesis
+    manifest references the source snapshot's data files in place
+    (absolute paths; reads resolve them because ``os.path.join(root,
+    abs)`` is ``abs``). O(metadata) regardless of table size: cloning
+    a 100 TB table writes one manifest.
+
+    Divergence is copy-on-write: the first commit on the clone rewrites
+    only its touched buckets into the clone's own ``data/`` (relative
+    paths), and every deletion path in this format constructs
+    candidates from the table's OWN root (GC globs its own data_dir;
+    conflict cleanup unlinks writer-staged relative paths), so a clone
+    can never delete source-owned bytes.
+
+    Caveat (same as Delta shallow clones): ``expire_snapshots`` on the
+    SOURCE may delete files a shallow clone still references — shallow
+    clones are for short-lived experiments/branch-offs; pass
+    ``deep=True`` (copies the files) for an owning clone, or pin the
+    source snapshot with ``create_tag``.
+
+    The clone starts a fresh head chain (commit_seq 0), drops
+    source-lineage summary keys (watermarks naming source snapshot ids),
+    and keeps schema history / stats declarations / sort-order claims —
+    time travel on the clone begins at the clone point, mirroring
+    Iceberg's snapshot-table semantics.
+    """
+    import dataclasses
+    import shutil
+
+    from clinvar_ingest_spark.lakelet.table import LakeletTable
+
+    src_sid = (
+        src.resolve_ref(snapshot_id) if snapshot_id else src.current_snapshot_id()
+    )
+    m = src.manifest(src_sid)
+    dest = LakeletTable(dest_root)
+    if os.path.exists(dest._current_path()):
+        raise FileExistsError(f"lakelet table already exists at {dest_root}")
+    os.makedirs(dest.manifest_dir, exist_ok=True)
+    os.makedirs(dest.data_dir, exist_ok=True)
+
+    new_files = []
+    for f in m.files:
+        src_path = os.path.abspath(os.path.join(src.root, f.path))
+        if deep:
+            dst_path = os.path.join(dest.root, f.path)
+            os.makedirs(os.path.dirname(dst_path), exist_ok=True)
+            shutil.copyfile(src_path, dst_path)
+            new_files.append(dataclasses.replace(f))
+        else:
+            new_files.append(dataclasses.replace(f, path=src_path))
+
+    batch_id = f"clone-{src_sid}"
+    sid = snapshot_id_for(None, batch_id, m.schema_version)
+    # lineage-bound summary keys point at SOURCE snapshot ids — they
+    # must not survive into a table whose history starts here
+    drop_keys = {"commit_seq", "committed_at"}
+    summary = {
+        k: v
+        for k, v in m.summary.items()
+        if k not in drop_keys and not k.startswith("indexed_")
+    }
+    summary["commit_seq"] = 0
+    summary["cloned_from"] = os.path.abspath(src.root)
+    summary["source_snapshot"] = src_sid
+    summary["clone_mode"] = "deep" if deep else "shallow"
+    nm = Manifest(
+        snapshot_id=sid,
+        parent_id=None,
+        batch_id=batch_id,
+        schema_version=m.schema_version,
+        n_buckets=m.n_buckets,
+        schemas=m.schemas,
+        files=new_files,  # inline (v1) manifest; segments on next commit
+        summary=summary,
+    )
+    dest._write_manifest(nm)
+    try:
+        dest._link_head(0, sid)
+    except FileExistsError:
+        pass  # concurrent clone to the same root: identical genesis
+    dest._set_current(sid)
+    return dest
