@@ -333,6 +333,73 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → LEFT SEMI join (the fact side is
+    deduplicated BEFORE the aggregate, so the join never multiplies
+    order rows), count by priority. The semi join shuffles each side
+    once on orderkey; the priority agg is map-side combined."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > orders["o_orderdate"]),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact join + dual conditional counts
+    (CASE-sum pivot on order priority) grouped by a line attribute.
+    One shuffle per side on orderkey, whole-stage-codegen CASE sums."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: broadcast-dim join + ratio of a conditional
+    aggregate over the total (promo revenue share). Integer cents and
+    an integer permille keep the ratio hash-stable cross-engine."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
+    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    return joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))).alias(
+            "promo_revenue_e4"
+        ),
+        F.sum(rev).alias("total_revenue_e4"),
+    ).select(
+        "promo_revenue_e4",
+        "total_revenue_e4",
+        # integer division (DIV / //): both engines truncate identically
+        # on non-negative operands; a double→bigint cast would round in
+        # DuckDB but truncate in Spark
+        F.expr("promo_revenue_e4 * 1000 DIV total_revenue_e4").alias(
+            "promo_permille"
+        ),
+    )
+
+
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-way fact-dim join; dims are broadcast (small side)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1673,7 +1740,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q6": q_tpch_q6,
         "tpch_q3": q_tpch_q3,
+        "tpch_q4": q_tpch_q4,
         "tpch_q5": q_tpch_q5,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q14": q_tpch_q14,
         "order_revenue": q_order_revenue,
         "revenue_by_nation": q_revenue_by_nation,
         "dedup_exact": q_dedup_exact,
@@ -1843,6 +1913,44 @@ def oracle_sql() -> dict[str, str]:
             )
             ORDER BY revenue_e4 DESC, l_orderkey ASC
             LIMIT 10
+        """,
+        "tpch_q4": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+              AND EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+              )
+            GROUP BY o_orderpriority
+        """,
+        "tpch_q12": """
+            SELECT l_linestatus,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l_linestatus
+        """,
+        "tpch_q14": """
+            WITH j AS (
+              SELECT CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)
+                          AS BIGINT) AS rev_e4,
+                     p_type
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+                AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+            )
+            SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END)
+                     AS BIGINT) AS promo_revenue_e4,
+                   CAST(sum(rev_e4) AS BIGINT) AS total_revenue_e4,
+                   CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END)
+                        * 1000 // sum(rev_e4) AS BIGINT) AS promo_permille
+            FROM j
         """,
         "tpch_q5": """
             SELECT n_name,
