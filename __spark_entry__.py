@@ -1462,6 +1462,41 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(tmp, "out"))
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup as a REAL streaming job:
+    `dropDuplicatesWithinWatermark` over the fixture changelog (2 %
+    verbatim re-deliveries sharing `seq`), two segments / one per
+    micro-batch, append parquet sink. State is bounded by the
+    watermark horizon, not the stream length — the production-safe
+    form of streaming dedup at 10^10 events. Duplicates are
+    byte-identical, so the emitted set has an exact batch mirror:
+    one row per distinct event (SELECT DISTINCT in the oracle)."""
+    import tempfile
+
+    from clinvar_ingest_spark.sources.changelog import write_changelog_parquet
+    from clinvar_ingest_spark.streaming.dedup import run_dedup_feed
+
+    clp = _ensure_cdc_fixture()
+    tmp = tempfile.mkdtemp(prefix="stream_dedup_")
+    seg_dir = os.path.join(tmp, "segs")
+    os.makedirs(seg_dir)
+    pdf = __import__("pandas").read_parquet(clp)
+    write_changelog_parquet(
+        pdf[pdf["seq"] < 1000], os.path.join(seg_dir, "seg-00.parquet")
+    )
+    write_changelog_parquet(
+        pdf[pdf["seq"] >= 1000], os.path.join(seg_dir, "seg-01.parquet")
+    )
+    out = os.path.join(tmp, "out")
+    q = run_dedup_feed(
+        spark, seg_dir, os.path.join(tmp, "ckpt"), out, max_files_per_trigger=1
+    )
+    q.awaitTermination(300)
+    if q.isActive:  # pragma: no cover - safety net
+        q.stop()
+    return spark.read.parquet(out).select("seq", "op", "url", "warc_ts", "lang")
+
+
 def q_stream_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retract-form CDC as a REAL streaming job: the fixture changelog
     split into two segments, one segment per micro-batch
@@ -1795,6 +1830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index_replay": q_inverted_index_replay,
         "table_changes": q_table_changes,
         "changelog_retract": q_changelog_retract,
+        "stream_dedup": q_stream_dedup,
         "stream_retract": q_stream_retract,
         "snapshot_history": q_snapshot_history,
         "quarantine_routing": q_quarantine_routing,
@@ -2565,6 +2601,13 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'update_before', url, a_ts, a_lang, a_sha FROM upd
         UNION ALL
         SELECT 'update_after', url, b_ts, b_lang, b_sha FROM upd
+    """
+    out["stream_dedup"] = f"""
+        -- watermarked streaming dedup: duplicates are verbatim
+        -- re-emissions sharing seq, so the emitted set == one row per
+        -- distinct event
+        SELECT DISTINCT seq, op, url, warc_ts, lang
+        FROM read_parquet('{_ensure_cdc_fixture()}')
     """
     out["stream_retract"] = f"""
         -- streaming retract feed with one segment per micro-batch ==
