@@ -1497,6 +1497,47 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select("seq", "op", "url", "warc_ts", "lang")
 
 
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment as a REAL streaming job: replay the
+    fixture's first half through the engine (batch), PIN that live
+    snapshot, then stream the second half joined per-micro-batch
+    against the pinned key set (BroadcastHashJoin — the stream side
+    never shuffles; the dim ships one column wide). Every second-half
+    event gains `was_known`: did its url exist in the pinned state?
+    The oracle recomputes the pinned state (tombstone-aware LWW over
+    seq<1000) and the same left join in SQL."""
+    import tempfile
+
+    from clinvar_ingest_spark.engine import CdcEngine
+    from clinvar_ingest_spark.sources.changelog import write_changelog_parquet
+    from clinvar_ingest_spark.streaming.enrich import run_enrich_feed
+
+    clp = _ensure_cdc_fixture()
+    tmp = tempfile.mkdtemp(prefix="stream_enrich_")
+    pdf = __import__("pandas").read_parquet(clp)
+
+    eng = CdcEngine(spark, os.path.join(tmp, "pages"), n_buckets=8)
+    first = spark.read.parquet(clp).filter(F.col("seq") < 1000)
+    eng.replay(first, batch_size=500)
+    pinned = eng.live(eng.table.current_snapshot_id())
+
+    seg_dir = os.path.join(tmp, "segs")
+    os.makedirs(seg_dir)
+    write_changelog_parquet(
+        pdf[pdf["seq"] >= 1000], os.path.join(seg_dir, "seg-01.parquet")
+    )
+    out = os.path.join(tmp, "out")
+    q = run_enrich_feed(spark, seg_dir, os.path.join(tmp, "ckpt"), out, pinned)
+    q.awaitTermination(300)
+    if q.isActive:  # pragma: no cover - safety net
+        q.stop()
+    return (
+        spark.read.parquet(out)
+        .groupBy("op", "was_known")
+        .agg(F.count("*").alias("n_events"), F.min("seq").alias("first_seq"))
+    )
+
+
 def q_stream_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retract-form CDC as a REAL streaming job: the fixture changelog
     split into two segments, one segment per micro-batch
@@ -1831,6 +1872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_changes": q_table_changes,
         "changelog_retract": q_changelog_retract,
         "stream_dedup": q_stream_dedup,
+        "stream_enrich": q_stream_enrich,
         "stream_retract": q_stream_retract,
         "snapshot_history": q_snapshot_history,
         "quarantine_routing": q_quarantine_routing,
@@ -2601,6 +2643,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'update_before', url, a_ts, a_lang, a_sha FROM upd
         UNION ALL
         SELECT 'update_after', url, b_ts, b_lang, b_sha FROM upd
+    """
+    out["stream_enrich"] = f"""
+        -- pinned-state enrichment: tombstone-aware LWW over the first
+        -- half == the engine snapshot the stream joined against;
+        -- second-half raw events (duplicates included — the enrich is
+        -- stateless) classified by key existence
+        WITH state AS (
+          SELECT url FROM (
+            SELECT url, op, row_number() OVER (
+                     PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn
+            FROM read_parquet('{_ensure_cdc_fixture()}') WHERE seq < 1000
+          ) WHERE rn = 1 AND op <> 'delete'
+        ),
+        ev AS (
+          SELECT seq, op, url
+          FROM read_parquet('{_ensure_cdc_fixture()}') WHERE seq >= 1000
+        )
+        SELECT ev.op, (s.url IS NOT NULL) AS was_known,
+               count(*) AS n_events, min(ev.seq) AS first_seq
+        FROM ev LEFT JOIN state s ON ev.url = s.url
+        GROUP BY ev.op, (s.url IS NOT NULL)
     """
     out["stream_dedup"] = f"""
         -- watermarked streaming dedup: duplicates are verbatim
