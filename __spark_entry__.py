@@ -431,6 +431,36 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_exact(_t(spark, sf_dir, "documents"))
 
 
+def q_patch_lww_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level LWW (patch-upsert fold): each profile field takes
+    its value from the latest event that carried it — ONE map-side-
+    combined hash aggregate (max_by FILTER per column), no window/sort.
+    The Debezium-partial-update analogue of the engine's row-level A1."""
+    from clinvar_ingest_spark.operators.patch import patch_lww_state
+
+    events = _t(spark, sf_dir, "events")
+    return patch_lww_state(
+        events,
+        keys=["user_id"],
+        order_by=["ts", "event_id"],
+        patch_cols={
+            "last_click_cents": (
+                "CASE WHEN event_type='click' "
+                "THEN CAST(round(value*100,0) AS BIGINT) END"
+            ),
+            "last_view_cents": (
+                "CASE WHEN event_type='view' "
+                "THEN CAST(round(value*100,0) AS BIGINT) END"
+            ),
+            "last_purchase_props": (
+                "CASE WHEN event_type='purchase' THEN props END"
+            ),
+            "last_error_ts": "CASE WHEN event_type='error' THEN ts END",
+        },
+        extra_aggs={"n_events": "count(*)"},
+    )
+
+
 def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide segment-level dedup (RefinedWeb line-dedup recipe):
     first global occurrence of every 4-token segment wins, documents
@@ -1824,6 +1854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "dedup_exact": q_dedup_exact,
         "segment_dedup": q_segment_dedup,
+        "patch_lww_users": q_patch_lww_users,
         "text_quality": q_text_quality,
         "fingerprint_docs": q_fingerprint_docs,
         "lang_id": q_lang_id,
@@ -2070,6 +2101,26 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_dups,
                    sha256(text) AS text_hash
             FROM documents GROUP BY sha256(text)
+        """,
+        "patch_lww_users": """
+            SELECT user_id,
+                   arg_max(CASE WHEN event_type='click'
+                                THEN CAST(round(value*100,0) AS BIGINT) END,
+                           epoch_us(ts))
+                     FILTER (WHERE event_type='click') AS last_click_cents,
+                   arg_max(CASE WHEN event_type='view'
+                                THEN CAST(round(value*100,0) AS BIGINT) END,
+                           epoch_us(ts))
+                     FILTER (WHERE event_type='view') AS last_view_cents,
+                   arg_max(CASE WHEN event_type='purchase' THEN props END,
+                           epoch_us(ts))
+                     FILTER (WHERE event_type='purchase')
+                     AS last_purchase_props,
+                   arg_max(CASE WHEN event_type='error' THEN ts END,
+                           epoch_us(ts))
+                     FILTER (WHERE event_type='error') AS last_error_ts,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id
         """,
         "segment_dedup": r"""
             WITH toks AS (
