@@ -1224,6 +1224,59 @@ def q_cdc_replay_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ensure_patch_fixture() -> str:
+    """Deterministic PARTIAL-UPDATE changelog (op='patch' deltas, 35 %
+    of updates) — same idempotent-creation contract as
+    :func:`_ensure_cdc_fixture`."""
+    from clinvar_ingest_spark.sources.changelog import (
+        ChangelogSpec,
+        generate_changelog,
+        write_changelog_parquet,
+    )
+
+    fixdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".fixtures")
+    path = os.path.join(fixdir, "cdc_patch_2000x300_seed43_v1.parquet")
+    if not os.path.exists(path):
+        os.makedirs(fixdir, exist_ok=True)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        write_changelog_parquet(
+            generate_changelog(
+                ChangelogSpec(n_events=2000, n_urls=300, seed=43, p_patch=0.35)
+            ),
+            tmp,
+        )
+        os.replace(tmp, path)
+    return path
+
+
+def q_cdc_patch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-level LWW engine path (patch_ops=True): a changelog where
+    35 % of updates are PARTIAL images (op='patch'; NULL = field
+    untouched) replays through the cells kernel — per-cell writer
+    positions, row tombstones killing only older cells, associative
+    fold (batch-boundary invariance is pytest-pinned). The oracle
+    recomputes the same semantics in SQL: per column, the latest
+    carrier after the last delete (`arg_max … FILTER`)."""
+    import tempfile
+
+    from clinvar_ingest_spark.engine import CdcEngine
+
+    clp = _ensure_patch_fixture()
+    tmp = tempfile.mkdtemp(prefix="cdc_patch_")
+    eng = CdcEngine(
+        spark, os.path.join(tmp, "pages"), n_buckets=8, patch_ops=True
+    )
+    eng.replay(spark.read.parquet(clp), batch_size=500)
+    return eng.live().select(
+        "url",
+        "warc_ts",
+        "lang",
+        "props",
+        F.sha2(F.col("html"), 256).alias("html_sha"),
+        F.col("_seq").alias("last_seq"),
+    )
+
+
 def q_mor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read engine path (round-3 continuation): the SAME
     fixture changelog as cdc_replay_pages, applied as delta-file
@@ -1885,6 +1938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fanout_entities": q_fanout_entities,
         "link_targets": q_link_targets,
         "cdc_replay_pages": q_cdc_replay_pages,
+        "cdc_patch_replay": q_cdc_patch_replay,
         "mor_replay": q_mor_replay,
         "wap_publish_replay": q_wap_publish_replay,
         "point_lookup_pages": q_point_lookup_pages,
@@ -2464,6 +2518,47 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn = 1 AND op <> 'delete'
         """,
     }
+    out["cdc_patch_replay"] = f"""
+        -- cell-level LWW in SQL: positions totally ordered by
+        -- (warc_ts, seq) ⇒ row_number is a faithful scalar position;
+        -- a cell's value is the latest CARRIER (full image, or patch
+        -- whose field is non-null) after the key's last delete
+        WITH ev AS (
+          SELECT *, row_number() OVER (ORDER BY warc_ts, seq) AS rn
+          FROM read_parquet('{_ensure_patch_fixture()}')
+        ),
+        d AS (SELECT url, max(rn) AS t_del FROM ev WHERE op = 'delete'
+              GROUP BY url),
+        e AS (SELECT ev.*, coalesce(d.t_del, 0) AS t_del
+              FROM ev LEFT JOIN d USING (url)),
+        agg AS (
+          SELECT url,
+            arg_max(warc_ts, rn) FILTER (op <> 'delete' AND rn > t_del)
+              AS warc_ts,
+            arg_max(seq, rn) FILTER (op <> 'delete' AND rn > t_del)
+              AS last_seq,
+            arg_max(lang, rn) FILTER (op <> 'delete' AND rn > t_del
+              AND (op <> 'patch' OR lang IS NOT NULL)) AS lang,
+            arg_max(html, rn) FILTER (op <> 'delete' AND rn > t_del
+              AND (op <> 'patch' OR html IS NOT NULL)) AS html,
+            arg_max(extra, rn) FILTER (op <> 'delete' AND rn > t_del
+              AND (op <> 'patch' OR extra IS NOT NULL)) AS extra,
+            max(rn) FILTER (op <> 'delete') AS life_rn,
+            max(t_del) AS t_del
+          FROM e GROUP BY url
+        )
+        SELECT url, warc_ts, lang,
+               CASE WHEN extra IS NULL THEN NULL ELSE
+                 '{{"fetch_ms":' ||
+                   regexp_extract(extra, '"fetch_ms": ([0-9]+)', 1) ||
+                 ',"status":' ||
+                   regexp_extract(extra, '"status": ([0-9]+)', 1) || '}}'
+               END AS props,
+               CASE WHEN html IS NULL THEN NULL
+                    ELSE sha256(decode(html)) END AS html_sha,
+               last_seq
+        FROM agg WHERE life_rn > t_del
+    """
     out["asof_enrich"] = """
         -- DuckDB's native ASOF LEFT JOIN, over the identically
         -- deduplicated right side (max event_id per (user_id, ts))

@@ -50,6 +50,7 @@ class CdcEngine:
         branch: str | None = None,
         validate: bool | list = False,
         max_records_per_file: int | None = None,
+        patch_ops: bool = False,
     ):
         """``strategy``: 'cogroup' (default; per-bucket applyInPandas,
         2 shuffles/batch) or 'join' (full-outer-join formulation,
@@ -95,11 +96,34 @@ class CdcEngine:
             )
         if write_mode not in ("cow", "mor"):
             raise ValueError(f"unknown write mode {write_mode!r}")
+        if patch_ops and write_mode == "mor":
+            raise ValueError(
+                "patch_ops requires write_mode='cow': a patch delta row "
+                "is not self-contained, so MOR read resolution cannot "
+                "layer it (same carry-over reasoning as "
+                "MorCarryoverRequired)"
+            )
         self.spark = spark
         self.strategy = strategy
         self.extract_kernel = extract_kernel
         self.write_mode = write_mode
-        self.table = LakeletTable.create(root, PAGES_COLUMNS, n_buckets=n_buckets)
+        self.patch_ops = patch_ops
+        cols = PAGES_COLUMNS
+        if patch_ops:
+            from clinvar_ingest_spark.lakelet.table import ColumnSpec
+
+            # cell-level LWW lineage: per-cell positions that differ
+            # from the row position (operators/merge_cells.py)
+            cols = PAGES_COLUMNS + [ColumnSpec(9, "_cells", "string")]
+        self.table = LakeletTable.create(root, cols, n_buckets=n_buckets)
+        if patch_ops and not any(
+            c.name == "_cells" for c in self.table.manifest().columns
+        ):
+            raise ValueError(
+                "patch_ops=True on a table created without the _cells "
+                "lineage column — per-cell positions cannot be "
+                "persisted; recreate the table with patch_ops=True"
+            )
         if branch is not None:
             try:  # attach to a live branch (resume) or fork at current
                 self.table = self.table.for_branch(branch)
@@ -121,8 +145,13 @@ class CdcEngine:
                 default_rules,
             )
 
+            allowed_ops = (
+                ("insert", "update", "delete", "patch")
+                if patch_ops
+                else ("insert", "update", "delete")
+            )
             self._rules = (
-                default_rules(self.table.key_col)
+                default_rules(self.table.key_col, ops=allowed_ops)
                 if validate is True
                 else list(validate)
             )
@@ -230,7 +259,16 @@ class CdcEngine:
             batch = tagged.filter(F.col(TAG_COL).isNull()).drop(TAG_COL)
         t0 = time.time()
         stats = None
-        if self.write_mode == "mor":
+        if self.patch_ops:
+            from clinvar_ingest_spark.operators.merge_cells import (
+                merge_apply_cells,
+            )
+
+            stats = merge_apply_cells(
+                self.spark, self.table, batch, batch_id,
+                assume_all_buckets=assume_all_buckets,
+            )
+        elif self.write_mode == "mor":
             from clinvar_ingest_spark.operators.merge import (
                 MorCarryoverRequired,
                 merge_apply_mor,
@@ -518,11 +556,11 @@ class CdcEngine:
         # tombstone between the snapshots shows up as 'deleted', exactly
         # like the reference's soft-delete slice (diff.py:138-141)
         live = ~F.coalesce(F.col("_deleted"), F.lit(False))
-        old = old.select(*sel).filter(live).drop("_seq", "_deleted")
+        old = old.select(*sel).filter(live).drop("_seq", "_deleted", "_cells")
         new = (
             self.table.read(self.spark, new_snapshot, buckets=buckets)
             .filter(live)
-            .drop("_seq", "_deleted")
+            .drop("_seq", "_deleted", "_cells")
         )
         return diff_ops.diff_all(new, old, keys=[self.table.key_col], null_safe=null_safe)
 
@@ -546,11 +584,11 @@ class CdcEngine:
         old = self.table.read(self.spark, old_snapshot, buckets=buckets)
         sel = align_select(old_m.columns, new_m.columns)
         live = ~F.coalesce(F.col("_deleted"), F.lit(False))
-        old = old.select(*sel).filter(live).drop("_seq", "_deleted")
+        old = old.select(*sel).filter(live).drop("_seq", "_deleted", "_cells")
         new = (
             self.table.read(self.spark, new_snapshot, buckets=buckets)
             .filter(live)
-            .drop("_seq", "_deleted")
+            .drop("_seq", "_deleted", "_cells")
         )
         return diff_changelog(
             new, old, keys=[self.table.key_col], null_safe=null_safe
@@ -679,7 +717,7 @@ class CdcEngine:
         from clinvar_ingest_spark.lakelet.table import _SPARK_TYPES
 
         m = self.table.manifest(snapshot_id)
-        lineage = {"_seq", "_deleted"}
+        lineage = {"_seq", "_deleted", "_cells"}
         parts = []
         for c in sorted(m.columns, key=lambda c: c.col_id):
             if c.name in lineage:

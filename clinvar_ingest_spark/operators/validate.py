@@ -51,17 +51,22 @@ class ValidationRule:
     condition: str
 
 
-def default_rules(key_col: str = "url") -> list[ValidationRule]:
+def default_rules(
+    key_col: str = "url",
+    ops: Sequence[str] = ("insert", "update", "delete"),
+) -> list[ValidationRule]:
     """The contract every changelog event must meet before a merge:
     a non-null key (the MERGE identity), a non-null event time (the
     LWW order), and a known op code (unknown ops are a producer from
-    the future — quarantine beats misinterpreting them as upserts)."""
+    the future — quarantine beats misinterpreting them as upserts).
+    ``ops`` widens the accepted set — a patch-aware engine passes
+    ``(..., 'patch')``; a row-LWW engine must NOT, since it would
+    misread a partial image as a full one."""
+    lst = ", ".join(f"'{o}'" for o in ops)
     return [
         ValidationRule("null_key", f"{key_col} IS NULL"),
         ValidationRule("null_ts", "warc_ts IS NULL"),
-        ValidationRule(
-            "bad_op", "op IS NULL OR op NOT IN ('insert', 'update', 'delete')"
-        ),
+        ValidationRule("bad_op", f"op IS NULL OR op NOT IN ({lst})"),
     ]
 
 

@@ -67,6 +67,14 @@ class ChangelogSpec:
     p_delete: float = 0.1  # remainder → insert of a new url
     out_of_order_rate: float = 0.1
     duplicate_rate: float = 0.02
+    #: fraction of update events emitted as PARTIAL updates (op='patch'):
+    #: the event carries a deterministic nonempty strict subset of the
+    #: payload fields (html / lang / extra); NULL = "field untouched".
+    #: Real binlogs (Debezium, app-level profile writes) ship deltas,
+    #: not full images — requires CdcEngine(patch_ops=True) to apply.
+    #: Selection and masking are STATELESS hashes of the event id, so
+    #: p_patch=0 leaves every existing fixture byte-identical.
+    p_patch: float = 0.0
     seed: int = 42
     schema_ver: int = 1
     #: words per page body — sizes the html payload (12 ≈ 0.4 KB pages
@@ -161,6 +169,21 @@ def _generate_meta(spec: ChangelogSpec) -> dict:
     jitter = rng.integers(60_000_000, 3_600_000_000, size=n)  # 1min..1h back
     ts_us = base_us - np.where(late, jitter, 0)
     warc_ts = _EPOCH + ts_us.astype("timedelta64[us]")
+
+    # --- partial updates (op='patch') -----------------------------------
+    # stateless hash selection: p_patch=0 performs NO rng draws, so every
+    # pre-existing fixture stays byte-identical
+    if spec.p_patch > 0:
+        hp = _splitmix64(
+            np.arange(n, dtype=np.uint64) * np.uint64(0xD1B54A32D192ED03)
+            + np.uint64(spec.seed) * np.uint64(0x9E3779B9)
+        )
+        to_patch = (ops == "update") & (
+            (hp % np.uint64(1_000_000)).astype(np.int64)
+            < int(spec.p_patch * 1_000_000)
+        )
+        ops = ops.copy()
+        ops[to_patch] = "patch"
 
     # --- light payload attrs --------------------------------------------
     ev_urls = urls[key_idx]
@@ -299,6 +322,20 @@ def _render_rows(spec: ChangelogSpec, meta: dict, lo: int, hi: int) -> pd.DataFr
     df.loc[is_del, "html"] = None
     df.loc[is_del, "lang"] = None
     df.loc[is_del, "extra"] = None
+    # patch events carry a deterministic nonempty strict subset of the
+    # payload fields (carry bits 1..6 of {html, lang, extra}); NULL =
+    # "field untouched" — duplicates share ev_index, so re-deliveries
+    # mask identically (verbatim)
+    is_patch = (df["op"] == "patch").to_numpy()
+    if is_patch.any():
+        hm = _splitmix64(
+            ix.astype(np.uint64) * np.uint64(0x94D049BB133111EB)
+            + np.uint64(spec.seed)
+        )
+        carry = 1 + (hm % np.uint64(6)).astype(np.int64)  # 1..6, never all/none
+        df.loc[is_patch & ((carry & 1) == 0), "html"] = None
+        df.loc[is_patch & ((carry & 2) == 0), "lang"] = None
+        df.loc[is_patch & ((carry & 4) == 0), "extra"] = None
     return df
 
 
