@@ -49,6 +49,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="with --tail: keep running instead of drain-and-stop")
     p.add_argument("--master", default="submit",
                    help="Spark master; default 'submit' defers to spark-submit")
+    p.add_argument("--patch-ops", action="store_true",
+                   help="cell-level LWW: accept op='patch' partial-update "
+                        "events (table gains a _cells lineage column)")
     p.add_argument("--write-mode", choices=("cow", "mor"), default="cow",
                    help="cow: rewrite touched buckets per batch; mor: "
                         "append delta files (apply cost ∝ batch size), "
@@ -80,6 +83,7 @@ def main(argv: list[str] | None = None) -> int:
     engine = CdcEngine(
         spark, args.table, n_buckets=args.buckets,
         write_mode=args.write_mode, branch=args.branch,
+        patch_ops=args.patch_ops,
     )
 
     if args.changelog:
