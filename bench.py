@@ -55,6 +55,7 @@ HEADLINE = [
     "fanout_entities",
     "link_targets",
     # round-3 continuation operators
+    "segment_dedup",
     "asof_enrich",
     "sessionize_events",
     "kmv_distinct_users",
@@ -172,6 +173,45 @@ def bench_mor_apply(spark, workdir: str) -> dict:
     return out
 
 
+def bench_patch_apply(spark, sf: float, workdir: str) -> dict:
+    """Cell-level LWW apply throughput: a changelog where 35 % of
+    updates are PARTIAL images (op='patch') replayed through
+    CdcEngine(patch_ops=True) — the merge_cells kernel end to end.
+    Sized at half the headline stream (one run; the headline replay
+    owns the best-of-2 noise treatment)."""
+    from clinvar_ingest_spark.engine import CdcEngine
+    from clinvar_ingest_spark.sources.changelog import (
+        ChangelogSpec,
+        generate_changelog_to_parquet,
+    )
+
+    n_events = max(int(750_000 * sf), 10_000)
+    clp = os.path.join(workdir, "patch_changelog.parquet")
+    generate_changelog_to_parquet(
+        ChangelogSpec(
+            n_events=n_events, n_urls=max(n_events // 6, 1000), n_hosts=100,
+            seed=77, words_per_page=80, p_patch=0.35,
+        ),
+        clp,
+    )
+    cl = spark.read.parquet(clp)
+    eng = CdcEngine(
+        spark, os.path.join(workdir, "pages_patch"), n_buckets=64,
+        patch_ops=True,
+    )
+    t0 = time.time()
+    stats = eng.replay(cl, batch_size=max(n_events // 4, 1))
+    wall = time.time() - t0
+    ev = sum(s.n_events for s in stats)
+    return {
+        "events": ev,
+        "sec": round(wall, 3),
+        "events_per_sec": round(ev / wall, 1),
+        "final_rows": eng.pages().count(),
+        "p_patch": 0.35,
+    }
+
+
 def bench_extract_ab(spark, clp: str) -> dict:
     """Round-3 A/B: the HTML→text kernel as an Arrow-batched pandas
     UDF (determinism reference) vs the codegen'd regexp-chain variant,
@@ -243,6 +283,7 @@ def main() -> None:
             spark, os.path.join(workdir, "changelog.parquet")
         )
         mor_ab = bench_mor_apply(spark, workdir)
+        patch = bench_patch_apply(spark, sf, workdir)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
     times["cdc_replay"] = cdc["sec"]
@@ -256,6 +297,7 @@ def main() -> None:
         "cdc": cdc,
         "extract_ab": extract_ab,
         "cow_vs_mor": mor_ab,
+        "patch_apply": patch,
         "cores": CPUS or "all",
     }
     print(json.dumps(out))
