@@ -74,27 +74,42 @@ def _gt(ts_a, seq_a, ts_b, seq_b):
     return (ts_a > ts_b) | ((ts_a == ts_b) & (seq_a > seq_b))
 
 
-def _cells_plan(table_cols: list[str], batch_cols: list[str]):
-    """(cell, batch-source, needs-extract, needs-canonicalize) per
-    payload column. ``text`` is derived from the html cell; ``props``
-    from the batch's ``extra``."""
+def _cells_plan(
+    manifest_cols,
+    batch_cols: list[str],
+    alias: dict[str, str] | None = None,
+):
+    """(cell, col_id, batch-source, needs-canonicalize) per payload
+    column. ``text`` is derived from the html cell; ``props`` from the
+    batch's ``extra``. ``alias`` maps renamed table columns to the
+    batch's old name (batch_alias_map) — a changelog produced against a
+    pre-rename schema still lands in the right cell. Cell positions are
+    persisted keyed by COL ID, so renames never orphan stored
+    positions."""
     lineage = {"url", "warc_ts", "_seq", "_deleted", "_cells", "text"}
+    alias = alias or {}
     plan = []
-    for c in table_cols:
+    for cs in manifest_cols:
+        c = cs.name
         if c in lineage:
             continue
-        if c == "props" and "props" not in batch_cols and "extra" in batch_cols:
-            plan.append(("props", "extra", False, True))
-        elif c in batch_cols:
-            plan.append((c, c, False, False))
+        src_name = alias.get(c, c)
+        if c == "props" and src_name not in batch_cols and "extra" in batch_cols:
+            plan.append(("props", cs.col_id, "extra", True))
+        elif src_name in batch_cols:
+            plan.append((c, cs.col_id, src_name, False))
         else:
-            plan.append((c, None, False, False))  # evolved col: carry-over
+            plan.append((c, cs.col_id, None, False))  # evolved: carry-over
     return plan
 
 
-def _merge_bucket_cells_fn(table_cols: list[str], batch_cols: list[str]):
-    cells = _cells_plan(table_cols, batch_cols)
+def _merge_bucket_cells_fn(
+    manifest_cols, batch_cols: list[str], alias: dict[str, str] | None = None
+):
+    table_cols = [cs.name for cs in manifest_cols]
+    cells = _cells_plan(manifest_cols, batch_cols, alias)
     cell_names = [c for c, _, _, _ in cells]
+    cell_ids = {c: cid for c, cid, _, _ in cells}
     has_text = "text" in table_cols
 
     def merge_bucket(bdf: pd.DataFrame, cdf: pd.DataFrame) -> pd.DataFrame:
@@ -124,7 +139,7 @@ def _merge_bucket_cells_fn(table_cols: list[str], batch_cols: list[str]):
         bs = bs.merge(
             last_per_url(~is_del, ["__ts", "seq"], "bl_"), on="url", how="left"
         )
-        for cell, src, _, _ in cells:
+        for cell, _cid, src, _ in cells:
             if src is None:
                 continue
             carrier = ~is_del & (~is_patch | b[src].notna().to_numpy())
@@ -161,11 +176,13 @@ def _merge_bucket_cells_fn(table_cols: list[str], batch_cols: list[str]):
             else [{}] * n_c
         )
         for cell in cell_names:
+            key = str(cell_ids[cell])
             ts = np.where(~c_dead, c_ts, _NEG).copy()
             sq = np.where(~c_dead, c_seq, _NEG).copy()
             for i, ov in enumerate(overrides):
-                if cell in ov:
-                    ts[i], sq[i] = int(ov[cell][0]), int(ov[cell][1])
+                ent = ov.get(key)
+                if ent is not None:
+                    ts[i], sq[i] = int(ent[0]), int(ent[1])
             cs[f"c{cell}_ts"] = ts
             cs[f"c{cell}_seq"] = sq
             cs[f"c{cell}_v"] = (
@@ -226,7 +243,7 @@ def _merge_bucket_cells_fn(table_cols: list[str], batch_cols: list[str]):
         cell_seq: dict[str, np.ndarray] = {}
         cell_from_batch: dict[str, np.ndarray] = {}
         changed = np.zeros(n, dtype=bool)
-        for cell, src, _, canon in cells:
+        for cell, _cid, src, canon in cells:
             cts, cseq = col_i64(f"c{cell}_ts"), col_i64(f"c{cell}_seq")
             cval = (
                 m[f"c{cell}_v"].to_numpy()
@@ -324,7 +341,7 @@ def _merge_bucket_cells_fn(table_cols: list[str], batch_cols: list[str]):
             )
         for i in np.nonzero(nonuniform)[0]:
             d = {
-                cell: [int(cell_ts[cell][i]), int(cell_seq[cell][i])]
+                str(cell_ids[cell]): [int(cell_ts[cell][i]), int(cell_seq[cell][i])]
                 for cell in cell_names
                 if cell_ts[cell][i] != row_ts[i] or cell_seq[cell][i] != row_seq[i]
             }
@@ -393,7 +410,10 @@ def merge_apply_cells(
             T.StructField("_action", T.StringType()),
         ]
     )
-    fn = _merge_bucket_cells_fn(table_cols, b.columns)
+    from clinvar_ingest_spark.operators.merge_cogroup import batch_alias_map
+
+    alias = batch_alias_map(m, list(b.columns))
+    fn = _merge_bucket_cells_fn(m.columns, b.columns, alias)
     merged = (
         b.groupBy("_bucket")
         .cogroup(current.groupBy("_bucket"))

@@ -188,3 +188,31 @@ def test_patch_mor_rejected(spark, tmp_path):
         CdcEngine(
             spark, str(tmp_path / "x"), patch_ops=True, write_mode="mor"
         )
+
+
+def test_patch_survives_rename_evolution(spark, tmp_path):
+    """Cell positions are keyed by col id, so a column rename neither
+    orphans stored positions nor breaks old-name patch batches (the
+    batch alias map routes them to the renamed cell)."""
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=4, patch_ops=True)
+    b1 = _df(
+        spark,
+        [
+            (1, "insert", "http://a/", T1, H1, "en", None),
+            (2, "patch", "http://a/", T2, None, "fr", None),  # lang cell @T2
+        ],
+    )
+    eng.apply_batch(b1, 1, 2)
+    # row pos is T2 (the patch); html cell stays at T1 -> one override
+    row = eng.read().filter("url='http://a/'").collect()[0]
+    assert row["_cells"] is not None and row["lang"] == "fr"
+
+    eng.table.rename_column("lang", "language")
+    eng2 = CdcEngine(spark, str(tmp_path / "t"), n_buckets=4, patch_ops=True)
+    # old-name patch batch (still says `lang`) after the rename
+    b2 = _df(spark, [(3, "patch", "http://a/", T3, None, "de", None)])
+    eng2.apply_batch(b2, 3, 3)
+    row = eng2.read().filter("url='http://a/'").collect()[0]
+    assert row["language"] == "de"           # alias-routed to the new name
+    assert row["html"] == H1                 # html cell (old col id) intact
+    assert row["_seq"] == 3
