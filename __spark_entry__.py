@@ -1621,6 +1621,44 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cell-level LWW feed (continuous form of the patch
+    engine): the patch fixture split into two segments, one per
+    micro-batch; per-url state holds tombstone/life/per-cell positions
+    and a key emits iff its OBSERVABLE resolved row changed. With
+    pinned per-segment batches the emitted set is state(seg1) for
+    seg1-touched keys ∪ state(all) for seg2-touched keys whose
+    observable tuple changed — recomputed exactly in SQL."""
+    import tempfile
+    import uuid
+
+    from clinvar_ingest_spark.sources.changelog import write_changelog_parquet
+    from clinvar_ingest_spark.streaming.cells import run_cells_feed
+
+    clp = _ensure_patch_fixture()
+    tmp = tempfile.mkdtemp(prefix="stream_cells_")
+    seg_dir = os.path.join(tmp, "segs")
+    os.makedirs(seg_dir)
+    pdf = __import__("pandas").read_parquet(clp)
+    write_changelog_parquet(
+        pdf[pdf["seq"] < 1000], os.path.join(seg_dir, "seg-00.parquet")
+    )
+    write_changelog_parquet(
+        pdf[pdf["seq"] >= 1000], os.path.join(seg_dir, "seg-01.parquet")
+    )
+    name = f"cells_{uuid.uuid4().hex[:8]}"
+    q = run_cells_feed(
+        spark, seg_dir, os.path.join(tmp, "ckpt"), query_name=name,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    if q.isActive:  # pragma: no cover - safety net
+        q.stop()
+    return spark.sql(
+        f"SELECT url, warc_ts, seq, lang, props, html_sha, live FROM {name}"
+    )
+
+
 def q_stream_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retract-form CDC as a REAL streaming job: the fixture changelog
     split into two segments, one segment per micro-batch
@@ -1958,6 +1996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changelog_retract": q_changelog_retract,
         "stream_dedup": q_stream_dedup,
         "stream_enrich": q_stream_enrich,
+        "stream_cells": q_stream_cells,
         "stream_retract": q_stream_retract,
         "snapshot_history": q_snapshot_history,
         "quarantine_routing": q_quarantine_routing,
@@ -2817,6 +2856,72 @@ def oracle_sql() -> dict[str, str]:
         -- distinct event
         SELECT DISTINCT seq, op, url, warc_ts, lang
         FROM read_parquet('{_ensure_cdc_fixture()}')
+    """
+    def _cells_hop_sql(bound: str) -> str:
+        """Per-url OBSERVABLE resolved row under cell-LWW, folded over
+        the patch fixture's events satisfying ``bound`` (the SQL twin
+        of streaming/cells.py's state)."""
+        carrier = "op <> 'delete' AND rn > t_del AND (op <> 'patch' OR {c} IS NOT NULL)"
+        return f"""
+          WITH ev AS (
+            SELECT *, row_number() OVER (ORDER BY warc_ts, seq) AS rn
+            FROM read_parquet('{_ensure_patch_fixture()}') WHERE {bound}
+          ),
+          d AS (SELECT url, max(rn) AS t_del FROM ev WHERE op = 'delete'
+                GROUP BY url),
+          e AS (SELECT ev.*, coalesce(d.t_del, 0) AS t_del
+                FROM ev LEFT JOIN d USING (url)),
+          agg AS (
+            SELECT url,
+              coalesce(max(rn) FILTER (op <> 'delete'), 0) AS life_rn,
+              max(t_del) AS t_del,
+              arg_max(warc_ts, rn) FILTER (op <> 'delete' AND rn > t_del) AS l_ts,
+              arg_max(seq, rn) FILTER (op <> 'delete' AND rn > t_del) AS l_seq,
+              arg_max(warc_ts, rn) FILTER (op = 'delete') AS d_ts,
+              arg_max(seq, rn) FILTER (op = 'delete') AS d_seq,
+              arg_max(lang, rn) FILTER ({carrier.format(c='lang')}) AS lang,
+              arg_max(extra, rn) FILTER ({carrier.format(c='extra')}) AS extra,
+              arg_max(html, rn) FILTER ({carrier.format(c='html')}) AS html
+            FROM e GROUP BY url
+          )
+          SELECT url,
+            CASE WHEN life_rn > t_del THEN l_ts ELSE d_ts END AS warc_ts,
+            CASE WHEN life_rn > t_del THEN l_seq ELSE d_seq END AS seq,
+            CASE WHEN life_rn > t_del THEN lang END AS lang,
+            CASE WHEN life_rn > t_del AND extra IS NOT NULL THEN
+              '{{"fetch_ms":' ||
+                regexp_extract(extra, '"fetch_ms": ([0-9]+)', 1) ||
+              ',"status":' ||
+                regexp_extract(extra, '"status": ([0-9]+)', 1) || '}}'
+            END AS props,
+            CASE WHEN life_rn > t_del AND html IS NOT NULL
+                 THEN sha256(decode(html)) END AS html_sha,
+            (life_rn > t_del) AS live
+          FROM agg
+        """
+
+    out["stream_cells"] = f"""
+        -- two pinned micro-batches: hop1 = state after seg1 (every
+        -- seg1-touched key emits from empty state); hop2 = state after
+        -- everything, emitted only for seg2-touched keys whose
+        -- observable tuple changed
+        WITH s1 AS ({_cells_hop_sql('seq < 1000')}),
+        s2 AS ({_cells_hop_sql('TRUE')}),
+        t2 AS (SELECT DISTINCT url
+               FROM read_parquet('{_ensure_patch_fixture()}')
+               WHERE seq >= 1000)
+        SELECT * FROM s1
+        UNION ALL
+        SELECT s2.* FROM s2
+        JOIN t2 USING (url)
+        LEFT JOIN s1 ON s1.url = s2.url
+        WHERE s1.url IS NULL
+           OR s2.warc_ts IS DISTINCT FROM s1.warc_ts
+           OR s2.seq IS DISTINCT FROM s1.seq
+           OR s2.lang IS DISTINCT FROM s1.lang
+           OR s2.props IS DISTINCT FROM s1.props
+           OR s2.html_sha IS DISTINCT FROM s1.html_sha
+           OR s2.live IS DISTINCT FROM s1.live
     """
     out["stream_retract"] = f"""
         -- streaming retract feed with one segment per micro-batch ==
