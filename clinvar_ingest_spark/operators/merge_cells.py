@@ -118,10 +118,12 @@ def _merge_bucket_cells_fn(
             return pd.DataFrame({c: [] for c in out_cols})
 
         # ---------------- batch fold (vectorized, event order) --------
-        b = bdf.sort_values(["warc_ts", "seq"], kind="stable").reset_index(
-            drop=True
-        )
-        b["__ts"] = _ts_us(b["warc_ts"])
+        b = bdf.reset_index(drop=True)
+        b["__ts"] = _ts_us(b["warc_ts"])  # NaT → _NEG (bottom), BEFORE the
+        # sort: sorting raw warc_ts would put NaT LAST while its position
+        # is the minimum, making groupby-tail pick a null-ts event as the
+        # "latest" candidate and lose real updates
+        b = b.sort_values(["__ts", "seq"], kind="stable").reset_index(drop=True)
         is_del = (b["op"] == "delete").to_numpy()
         is_patch = (b["op"] == "patch").to_numpy()
 
@@ -175,12 +177,13 @@ def _merge_bucket_cells_fn(
             if "_cells" in c.columns and n_c
             else [{}] * n_c
         )
+        ov_rows = [i for i, ov in enumerate(overrides) if ov]
         for cell in cell_names:
             key = str(cell_ids[cell])
             ts = np.where(~c_dead, c_ts, _NEG).copy()
             sq = np.where(~c_dead, c_seq, _NEG).copy()
-            for i, ov in enumerate(overrides):
-                ent = ov.get(key)
+            for i in ov_rows:  # full-image rows carry no _cells: 0 work
+                ent = overrides[i].get(key)
                 if ent is not None:
                     ts[i], sq[i] = int(ent[0]), int(ent[1])
             cs[f"c{cell}_ts"] = ts
@@ -319,9 +322,11 @@ def _merge_bucket_cells_fn(
         # ---------------- assemble output rows --------------------------
         out: dict[str, object] = {}
         out["url"] = m["url"]
+        safe_ts = np.where(row_ts > _NEG, row_ts, 0)  # sentinel would
+        # overflow pd.to_datetime; masked back to None right after
         out["warc_ts"] = pd.Series(
-            pd.to_datetime(row_ts, unit="us"), index=m.index
-        ).where(pd.Series(row_ts, index=m.index) > _NEG, None)
+            pd.to_datetime(safe_ts, unit="us"), index=m.index
+        ).where(pd.Series(row_ts > _NEG, index=m.index), None)
         out["_seq"] = np.where(row_seq > _NEG, row_seq, -1).astype("int64")
         out["_deleted"] = ~alive
         for cell in cell_names:

@@ -18,7 +18,6 @@ same-value patch advancing a cell position) update state silently.
 from __future__ import annotations
 
 import hashlib
-import json
 from typing import Iterator, Tuple
 
 import pandas as pd
@@ -98,8 +97,13 @@ def _cells_update(
     before = obs()
     dirty = False
     for pdf in pdfs:
-        pdf = pdf.sort_values(["warc_ts", "seq"], kind="stable")
-        ts_us = (pdf["warc_ts"].values.astype("datetime64[us]")).astype("int64")
+        from clinvar_ingest_spark.operators.merge_cells import _ts_us
+
+        # NaT → _NEG (bottom) BEFORE the sort, exactly like the batch
+        # kernel: raw NaT sorts LAST but its position is the minimum
+        pdf = pdf.assign(__ts=_ts_us(pdf["warc_ts"]))
+        pdf = pdf.sort_values(["__ts", "seq"], kind="stable")
+        ts_us = pdf["__ts"].to_numpy()
         is_del = (pdf["op"] == "delete").to_numpy()
         is_patch = (pdf["op"] == "patch").to_numpy()
         # batch-local folds (last = max position; rows are sorted)

@@ -216,3 +216,23 @@ def test_patch_survives_rename_evolution(spark, tmp_path):
     assert row["language"] == "de"           # alias-routed to the new name
     assert row["html"] == H1                 # html cell (old col id) intact
     assert row["_seq"] == 3
+
+
+def test_null_warc_ts_event_does_not_mask_valid_ones(spark, tmp_path):
+    """A NULL-timestamp event sorts at the BOTTOM of the position order
+    (ts=_NEG, seq tie-break) — it must neither crash the datetime
+    conversion nor shadow valid events in the same batch."""
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=4, patch_ops=True)
+    b = _df(
+        spark,
+        [
+            (1, "insert", "http://a/", T2, H1, "en", None),
+            (2, "update", "http://a/", None, H2, "fr", None),  # NULL ts
+        ],
+    )
+    eng.apply_batch(b, 1, 2)
+    st = _state(eng)
+    # the NULL-ts event's position is (bottom, 2) < (T2, 1): it loses
+    assert st["http://a/"]["lang"] == "en"
+    assert st["http://a/"]["html"] == H1
+    assert st["http://a/"]["_seq"] == 1
