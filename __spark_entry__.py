@@ -431,6 +431,15 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_exact(_t(spark, sf_dir, "documents"))
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocab seeding: exact top-50 corpus tokens. Explode →
+    one map-side-combined hash agg → TakeOrderedAndProject (top-k,
+    never a full sort); deterministic token tie-break."""
+    from clinvar_ingest_spark.functions.text import vocab_topk
+
+    return vocab_topk(_t(spark, sf_dir, "documents"), k=50)
+
+
 def q_patch_lww_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-level LWW (patch-upsert fold): each profile field takes
     its value from the latest event that carried it — ONE map-side-
@@ -1946,6 +1955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "segment_dedup": q_segment_dedup,
         "patch_lww_users": q_patch_lww_users,
+        "vocab_topk": q_vocab_topk,
         "text_quality": q_text_quality,
         "fingerprint_docs": q_fingerprint_docs,
         "lang_id": q_lang_id,
@@ -2194,6 +2204,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_dups,
                    sha256(text) AS text_hash
             FROM documents GROUP BY sha256(text)
+        """,
+        "vocab_topk": r"""
+            SELECT token, count(*) AS n
+            FROM (
+              SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+              FROM documents
+            )
+            WHERE token <> ''
+            GROUP BY token
+            ORDER BY n DESC, token ASC
+            LIMIT 50
         """,
         "patch_lww_users": """
             SELECT user_id,

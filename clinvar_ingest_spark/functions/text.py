@@ -167,3 +167,26 @@ def rolling_fingerprints(col: Column, window: int = 8) -> Column:
             lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window))),
         )
     )
+
+
+def vocab_topk(
+    df: DataFrame, text_col: str = "text", k: int = 100
+) -> DataFrame:
+    """Corpus vocabulary: the k most frequent whitespace tokens with
+    exact counts — the seed step of tokenizer training (BPE starts from
+    a word-frequency table) and the dataset-card "top terms" stat.
+
+    Plan: explode → ONE hash aggregate on the token (map-side combined;
+    stopword-heavy skew is absorbed by the partial agg — a hot token
+    arrives at the reducer once per map partition, not once per
+    occurrence) → global top-k. The final ordering is a driver-side
+    sort of k rows, not a full shuffle sort; ties break on the token
+    string so both engines agree row-for-row.
+    """
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    counts = toks.filter(F.col("token") != "").groupBy("token").agg(
+        F.count("*").alias("n")
+    )
+    return (
+        counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
+    )

@@ -678,6 +678,38 @@ class LakeletTable:
             ),
         )
 
+    def partitions_df(
+        self, spark: SparkSession, snapshot_id: str | None = None
+    ) -> DataFrame:
+        """Metadata table: one row per bucket (Iceberg's
+        ``table.partitions``) — file/row/delta/tombstone rollups straight
+        from the manifest, zero data files read. The operational view
+        for spotting skewed buckets, compaction debt (n_delta_files),
+        and purge debt (n_tombstones, where footer stats recorded it)."""
+        m = self.manifest(snapshot_id)
+        agg: dict[int, list] = {}
+        for f in m.files:
+            a = agg.setdefault(f.bucket, [0, 0, 0, 0])
+            a[0] += 1
+            a[1] += f.rows
+            if f.kind == "delta":
+                a[2] += 1
+            nt = getattr(f, "n_tombstones", None)
+            if nt is not None and a[3] is not None:
+                a[3] += nt
+            elif nt is None:
+                a[3] = None  # unknown for any file ⇒ unknown for bucket
+        rows = [
+            (b, v[0], v[1], v[2], v[3]) for b, v in sorted(agg.items())
+        ]
+        return spark.createDataFrame(
+            rows,
+            schema=(
+                "bucket int, n_files long, rows long, n_delta_files long, "
+                "n_tombstones long"
+            ),
+        )
+
     def refs_df(self, spark: SparkSession) -> DataFrame:
         """Metadata table: every named ref — this chain's head, every
         branch head, every tag (Iceberg's ``table.refs``)."""

@@ -104,3 +104,20 @@ def test_snapshot_as_of(spark, changelog_df, tmp_path):
     assert t.read(spark, snapshot_id=mid).count() > 0
     with pytest.raises(FileNotFoundError):
         t.snapshot_as_of(0.0)  # before the table existed
+
+
+def test_partitions_df_rollups(spark, changelog_df, tmp_path):
+    """partitions_df aggregates the manifest: totals agree with files_df
+    and the physical read; zero data files touched."""
+    eng = CdcEngine(spark, str(tmp_path / "pages_p"), n_buckets=4)
+    eng.replay(changelog_df, batch_size=500)
+    parts = eng.table.partitions_df(spark).collect()
+    files = eng.table.files_df(spark).collect()
+    assert sum(p["n_files"] for p in parts) == len(files)
+    assert sum(p["rows"] for p in parts) == eng.read().count()  # pure COW: raw == resolved
+    by_bucket = {}
+    for f in files:
+        by_bucket[f["bucket"]] = by_bucket.get(f["bucket"], 0) + f["rows"]
+    for p in parts:
+        assert p["rows"] == by_bucket[p["bucket"]]
+        assert p["n_delta_files"] == 0  # pure-COW replay
