@@ -52,6 +52,9 @@ QUERIES = [
     "ann_lsh_topk",
     "embedding_dup_pairs",
     "multimodal_meta",
+    # late-round-3 corpus operators
+    "segment_dedup",
+    "vocab_topk",
 ]
 
 STOPWORD_POOL = (
