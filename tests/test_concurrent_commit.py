@@ -279,3 +279,43 @@ def test_manifest_create_if_absent_and_tokened_file_names(spark, tmp_path):
     # ...and every referenced file is still on disk
     for f in t.manifest().files:
         assert os.path.exists(os.path.join(t.root, f.path))
+
+
+def test_two_patch_writers_converge_to_serial(spark, tmp_path):
+    """CAS-and-retry composes with the cell-LWW kernel: two concurrent
+    writers applying patch-bearing batches (overlapping buckets) lose no
+    update, and the final state equals serial application — the cells
+    fold is associative, so retry-after-replan is safe by construction."""
+    pdf = generate_changelog(
+        ChangelogSpec(n_events=800, n_urls=80, seed=3, p_patch=0.4)
+    )
+    pa_tbl = pa.Table.from_pandas(
+        pdf, schema=changelog_arrow_schema(), preserve_index=False
+    )
+    p = str(tmp_path / "cl.parquet")
+    pq.write_table(pa_tbl, p)
+    cl = spark.read.parquet(p)
+    b1 = cl.filter("seq < 400")
+    b2 = cl.filter("seq >= 400")
+
+    root = str(tmp_path / "t")
+    CdcEngine(spark, root, n_buckets=8, patch_ops=True)  # create once
+
+    def apply(batch, lo, hi):
+        # one engine per thread: separate planning contexts racing on
+        # the shared CAS head chain
+        eng = CdcEngine(spark, root, n_buckets=8, patch_ops=True)
+        return eng.apply_batch(batch, lo, hi)
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f1 = ex.submit(apply, b1, 0, 399)
+        f2 = ex.submit(apply, b2, 400, 799)
+        s1, s2 = f1.result(), f2.result()
+    assert s1 is not None and s2 is not None
+
+    serial = CdcEngine(spark, str(tmp_path / "s"), n_buckets=8, patch_ops=True)
+    serial.replay(cl, batch_size=400)
+    racing = CdcEngine(spark, root, n_buckets=8, patch_ops=True)
+    assert racing.state_hash(include_tombstones=True) == serial.state_hash(
+        include_tombstones=True
+    )
