@@ -400,6 +400,78 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer in a
+    quarter, exact top-20 (TakeOrderedAndProject — never a global
+    sort), broadcast dims, deterministic custkey tie-break."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).alias("revenue_e4"))
+        .orderBy(F.col("revenue_e4").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders — a HAVING subquery turned
+    into an aggregate + self semi-join on the fact (the classic
+    two-pass big-order filter; both aggregates map-side combine)."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 210)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "l_orderkey",
+            "o_orderdate",
+            _cents(F.col("o_totalprice")).alias("totalprice_cents"),
+            _cents(F.col("sum_qty")).alias("qty_cents"),
+        )
+    )
+
+
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test corpus split (80/10/10 on the
+    cross-engine md5-48 of the doc id — partition-invariant, stable
+    across engines and runs; the standard pre-training split recipe).
+    Emits per-(lang, split) counts + id bounds as value coverage."""
+    from clinvar_ingest_spark.functions.xhash import md5_long48
+
+    docs = _t(spark, sf_dir, "documents")
+    h = md5_long48(F.concat(F.lit("split"), F.col("doc_id").cast("string"))) % 100
+    split = (
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
+
+
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-way fact-dim join; dims are broadcast (small side)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1948,8 +2020,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q4": q_tpch_q4,
         "tpch_q5": q_tpch_q5,
+        "tpch_q10": q_tpch_q10,
         "tpch_q12": q_tpch_q12,
         "tpch_q14": q_tpch_q14,
+        "tpch_q18": q_tpch_q18,
+        "corpus_split": q_corpus_split,
         "order_revenue": q_order_revenue,
         "revenue_by_nation": q_revenue_by_nation,
         "dedup_exact": q_dedup_exact,
@@ -2137,6 +2212,37 @@ def oracle_sql() -> dict[str, str]:
               )
             GROUP BY o_orderpriority
         """,
+        "tpch_q10": """
+            SELECT c_custkey, c_name, n_name,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                       * 10000, 0) AS BIGINT)) AS BIGINT)
+                     AS revenue_e4
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue_e4 DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "tpch_q18": """
+            WITH big AS (
+              SELECT l_orderkey,
+                     sum(l_quantity) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(l_quantity) > 210
+            )
+            SELECT c_custkey, c_name, l_orderkey, o_orderdate,
+                   CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                     AS totalprice_cents,
+                   CAST(round(sum_qty * 100, 0) AS BIGINT) AS qty_cents
+            FROM big
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+        """,
         "tpch_q12": """
             SELECT l_linestatus,
                    CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
@@ -2235,6 +2341,20 @@ def oracle_sql() -> dict[str, str]:
                      FILTER (WHERE event_type='error') AS last_error_ts,
                    count(*) AS n_events
             FROM events GROUP BY user_id
+        """,
+        "corpus_split": """
+            SELECT lang,
+                   CASE WHEN ('0x' || substr(md5('split' ||
+                          CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100 < 80
+                          THEN 'train'
+                        WHEN ('0x' || substr(md5('split' ||
+                          CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100 < 90
+                          THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*) AS n_docs,
+                   min(doc_id) AS min_id,
+                   max(doc_id) AS max_id
+            FROM documents GROUP BY 1, 2
         """,
         "segment_dedup": r"""
             WITH toks AS (
