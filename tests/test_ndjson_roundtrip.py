@@ -64,3 +64,54 @@ def test_diff_consumer_reproduces_new_snapshot(spark, tmp_path, changelog_df):
     cons.replay(wire.drop("text"), batch_size=10_000_000)
 
     assert cons.state_hash() == prod.state_hash(new_snap)
+
+
+def test_patch_table_diff_export_interop(spark, tmp_path):
+    """A PATCH-mode producer's diff export carries resolved FULL images,
+    so a plain row-LWW consumer (no patch support at all) replays it and
+    reproduces the producer's live state — cross-engine interop for the
+    cell-LWW extension."""
+    pdf = generate_changelog(
+        ChangelogSpec(n_events=1200, n_urls=200, seed=31, p_patch=0.35)
+    )
+    p = str(tmp_path / "cl.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(
+            pdf, schema=changelog_arrow_schema(), preserve_index=False
+        ),
+        p,
+    )
+    cl = spark.read.parquet(p)
+
+    prod = CdcEngine(spark, str(tmp_path / "prod"), n_buckets=8, patch_ops=True)
+    prod.replay(cl, batch_size=600)
+    old_snap, new_snap = prod.table.history()[1], prod.table.history()[-1]
+
+    # plain consumer seeded from the OLD state via a full export
+    # (created slice of genesis -> old diff covers every live row)
+    genesis = prod.table.history()[0]
+    prod.export_diff_ndjson(genesis, old_snap, str(tmp_path / "seed"))
+    seed = diff_slices_to_changelog(
+        spark, str(tmp_path / "seed"), start_seq=10_000_000
+    )
+    cons = CdcEngine(spark, str(tmp_path / "cons"), n_buckets=8)  # row-LWW
+    cons.replay(seed.drop("text"), batch_size=10_000_000)
+    assert cons.live().count() == prod.live(old_snap).count()
+
+    # ship the patch-era diff; the consumer has no notion of patches
+    prod.export_diff_ndjson(old_snap, new_snap, str(tmp_path / "wire"))
+    wire = diff_slices_to_changelog(
+        spark, str(tmp_path / "wire"), start_seq=20_000_000
+    )
+    cons.replay(wire.drop("text"), batch_size=10_000_000)
+
+    # live states agree column-for-column (compare url/lang/props/html)
+    want = {
+        r["url"]: (r["lang"], r["props"], bytes(r["html"]) if r["html"] else None)
+        for r in prod.live(new_snap).collect()
+    }
+    got = {
+        r["url"]: (r["lang"], r["props"], bytes(r["html"]) if r["html"] else None)
+        for r in cons.live().collect()
+    }
+    assert got == want
