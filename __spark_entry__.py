@@ -1702,6 +1702,29 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (click→purchase
+    attribution within 1 h) as a REAL streaming job: both sides are
+    file-source streams, state is bounded by watermark + window, and
+    the drained emitted set equals the batch interval join the oracle
+    runs in SQL."""
+    import tempfile
+
+    from clinvar_ingest_spark.streaming.join import run_click_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="stream_ij_")
+    cdir, pdir = os.path.join(tmp, "clicks"), os.path.join(tmp, "purchases")
+    ev.filter(F.col("event_type") == "click").coalesce(1).write.parquet(cdir)
+    ev.filter(F.col("event_type") == "purchase").coalesce(1).write.parquet(pdir)
+    out = os.path.join(tmp, "out")
+    q = run_click_attribution(spark, cdir, pdir, os.path.join(tmp, "ckpt"), out)
+    q.awaitTermination(300)
+    if q.isActive:  # pragma: no cover - safety net
+        q.stop()
+    return spark.read.parquet(out)
+
+
 def q_stream_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming cell-level LWW feed (continuous form of the patch
     engine): the patch fixture split into two segments, one per
@@ -2082,6 +2105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "stream_enrich": q_stream_enrich,
         "stream_cells": q_stream_cells,
+        "stream_interval_join": q_stream_interval_join,
         "stream_retract": q_stream_retract,
         "snapshot_history": q_snapshot_history,
         "quarantine_routing": q_quarantine_routing,
@@ -2990,6 +3014,21 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_events, min(ev.seq) AS first_seq
         FROM ev LEFT JOIN state s ON ev.url = s.url
         GROUP BY ev.op, (s.url IS NOT NULL)
+    """
+    out["stream_interval_join"] = """
+        -- batch mirror of the stream-stream interval join: inner join
+        -- emits each matched pair exactly once
+        SELECT c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               c.user_id,
+               c.ts AS click_ts,
+               p.ts AS purchase_ts,
+               CAST(round(p.value * 100, 0) AS BIGINT) AS purchase_cents
+        FROM events c
+        JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
     """
     out["stream_dedup"] = f"""
         -- watermarked streaming dedup: duplicates are verbatim
