@@ -2347,21 +2347,24 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 50
         """,
         "patch_lww_users": """
+            -- composite (ts, event_id) arg_max key packed into HUGEINT
+            -- (arg_max rejects STRUCT keys): matches the Spark side's
+            -- order_by=["ts", "event_id"] tiebreak on duplicate ts.
             SELECT user_id,
                    arg_max(CASE WHEN event_type='click'
                                 THEN CAST(round(value*100,0) AS BIGINT) END,
-                           epoch_us(ts))
+                           CAST(epoch_us(ts) AS HUGEINT) * 9223372036854775808 + event_id)
                      FILTER (WHERE event_type='click') AS last_click_cents,
                    arg_max(CASE WHEN event_type='view'
                                 THEN CAST(round(value*100,0) AS BIGINT) END,
-                           epoch_us(ts))
+                           CAST(epoch_us(ts) AS HUGEINT) * 9223372036854775808 + event_id)
                      FILTER (WHERE event_type='view') AS last_view_cents,
                    arg_max(CASE WHEN event_type='purchase' THEN props END,
-                           epoch_us(ts))
+                           CAST(epoch_us(ts) AS HUGEINT) * 9223372036854775808 + event_id)
                      FILTER (WHERE event_type='purchase')
                      AS last_purchase_props,
                    arg_max(CASE WHEN event_type='error' THEN ts END,
-                           epoch_us(ts))
+                           CAST(epoch_us(ts) AS HUGEINT) * 9223372036854775808 + event_id)
                      FILTER (WHERE event_type='error') AS last_error_ts,
                    count(*) AS n_events
             FROM events GROUP BY user_id

@@ -496,13 +496,23 @@ def clone_table(
     os.makedirs(dest.data_dir, exist_ok=True)
 
     new_files = []
-    for f in m.files:
+    for i, f in enumerate(m.files):
         src_path = os.path.abspath(os.path.join(src.root, f.path))
         if deep:
-            dst_path = os.path.join(dest.root, f.path)
+            # a shallow-clone source stores absolute f.path — joining
+            # it onto dest.root would resolve back to the SOURCE file
+            # (copyfile(src, src) → SameFileError, and the deep clone
+            # would not own its bytes). Rewrite absolute entries to a
+            # dest-relative data/ path before copying.
+            rel = (
+                os.path.join("data", f"clone-{i:06d}-{os.path.basename(f.path)}")
+                if os.path.isabs(f.path)
+                else f.path
+            )
+            dst_path = os.path.join(dest.root, rel)
             os.makedirs(os.path.dirname(dst_path), exist_ok=True)
             shutil.copyfile(src_path, dst_path)
-            new_files.append(dataclasses.replace(f))
+            new_files.append(dataclasses.replace(f, path=rel))
         else:
             new_files.append(dataclasses.replace(f, path=src_path))
 

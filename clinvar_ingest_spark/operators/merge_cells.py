@@ -17,7 +17,11 @@ Semantics (per key, positions are ``(warc_ts, seq)``):
 - full image (insert/update) at position p: writes EVERY payload cell
   at p (including explicit NULLs);
 - patch at p: writes only its non-null fields at p;
-- delete at p: row tombstone — kills every cell with position < p;
+- delete at p: row tombstone — kills every cell with position <= p
+  (the kernel compares strictly, ``life > tombstone`` survives, so an
+  exact position tie loses to the tombstone; unreachable in practice
+  because ``seq`` is globally unique, but batch and streaming kernels
+  both resolve the tie the same way);
 - a cell's value is the highest-position write that survives the
   highest-position tombstone; the row is live iff any life event
   outranks the last tombstone.

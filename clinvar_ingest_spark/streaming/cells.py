@@ -86,6 +86,8 @@ def _cells_update(
     }
 
     def obs():
+        # strict >: a position tie loses to the tombstone — same
+        # resolution as the batch kernel (merge_cells.py `alive`)
         alive = (l_ts, l_seq) > (t_ts, t_seq)
         row = (l_ts, l_seq) if alive else (t_ts, t_seq)
         if alive:
@@ -153,10 +155,16 @@ def _cells_update(
             after[3],
             after[4],
         )
+        # row_ts == _NEG means the observable position came from a
+        # NULL-warc_ts event (seq-only ordering) — the batch kernel
+        # masks this to NULL (merge_cells.py safe_ts); converting the
+        # sentinel would overflow pd.Timestamp and kill the query.
         yield pd.DataFrame(
             {
                 "url": [url],
-                "warc_ts": [pd.Timestamp(row_ts * 1000)],
+                "warc_ts": [
+                    pd.Timestamp(row_ts * 1000) if row_ts > _NEG else pd.NaT
+                ],
                 "seq": [row_seq],
                 "lang": [lang],
                 "props": [props],

@@ -106,6 +106,27 @@ def test_deep_clone_owns_bytes(spark, src_engine, tmp_path):
     assert glob.glob(os.path.join(dest_root, "data", "*.parquet"))
 
 
+def test_deep_clone_of_shallow_clone(spark, src_engine, tmp_path):
+    """Deep-cloning a SHALLOW clone must rewrite the shallow clone's
+    absolute file paths to dest-relative ones and copy the bytes —
+    previously copyfile(src, src) raised SameFileError."""
+    eng, _ = src_engine
+    shallow_root = str(tmp_path / "shallow")
+    clone_table(eng.table, shallow_root)
+    seng = CdcEngine(spark, shallow_root, n_buckets=8)
+    deep_root = str(tmp_path / "deep_of_shallow")
+    clone_table(seng.table, deep_root, deep=True)
+    deng = CdcEngine(spark, deep_root, n_buckets=8)
+    assert deng.state_hash(include_tombstones=True) == eng.state_hash(
+        include_tombstones=True
+    )
+    # the deep clone OWNS its bytes: every path relative, files present
+    for f in deng.table.manifest().files:
+        assert not os.path.isabs(f.path)
+        assert os.path.exists(os.path.join(deep_root, f.path))
+    assert glob.glob(os.path.join(deep_root, "data", "*.parquet"))
+
+
 def test_clone_existing_root_refuses(spark, src_engine, tmp_path):
     eng, _ = src_engine
     dest_root = str(tmp_path / "dup")

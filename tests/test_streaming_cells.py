@@ -76,6 +76,38 @@ def test_feed_converges_to_batch_engine(spark, tmp_path, setup):
         assert not bool(f["live"]) and f["seq"] == row["_seq"], url
 
 
+def test_null_warc_ts_event_emits_nat(spark, tmp_path):
+    """A NULL-warc_ts event whose position becomes the observable row
+    position must emit warc_ts=NULL, not overflow on the _NEG sentinel
+    (the batch kernel masks this case; the feed must match)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "seq": pd.array([1, 2], dtype="int64"),
+            "op": ["insert", "insert"],
+            "url": ["http://null-ts.example/only", "http://real-ts.example/x"],
+            "warc_ts": [pd.NaT, pd.Timestamp("2024-01-01T00:00:00")],
+            "html": [b"<p>a</p>", b"<p>b</p>"],
+            "lang": ["en", "de"],
+            "schema_ver": pd.array([1, 1], dtype="int32"),
+            "extra": [None, None],
+        }
+    )
+    d = tmp_path / "segs_null"
+    d.mkdir()
+    write_changelog_parquet(pdf, str(d / "seg-00.parquet"))
+    _drain(spark, str(d), str(tmp_path / "ckpt_null"), "t_cells_null")
+    feed = (
+        spark.sql("SELECT * FROM t_cells_null").toPandas().set_index("url")
+    )
+    f = feed.loc["http://null-ts.example/only"]
+    assert pd.isna(f["warc_ts"])
+    assert bool(f["live"]) and f["seq"] == 1 and f["lang"] == "en"
+    g = feed.loc["http://real-ts.example/x"]
+    assert g["warc_ts"] == pd.Timestamp("2024-01-01T00:00:00")
+
+
 def test_duplicate_segment_emits_nothing(spark, tmp_path, setup):
     """A verbatim re-delivered segment (same events, later micro-batch)
     changes no observable state — zero additional emissions."""
