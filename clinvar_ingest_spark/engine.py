@@ -529,10 +529,17 @@ class CdcEngine:
         return sorted(b for b in set(ob) | set(nb) if ob.get(b) != nb.get(b))
 
     def diff_snapshots(
-        self, old_snapshot: str, new_snapshot: str, null_safe: bool = True
+        self, old_snapshot: str | None, new_snapshot: str, null_safe: bool = True
     ) -> DataFrame:
         """created/updated/deleted rows between two snapshots
         (reference: docker/diff/diff.py:117-182).
+
+        ``old_snapshot=None`` is the reference's DATE-ABSENT branch
+        (orchestration/templates/date-absent.yaml:26-121, selected by
+        export-diff.yaml:34-41 when no preceding release exists): the
+        whole new snapshot's live state is the diff, every row
+        ``_change='created'`` — a first-release consumer bootstraps
+        from it instead of erroring.
 
         The two snapshots may straddle schema-evolution commits: the old
         side is aligned to the NEW snapshot's schema by col_id
@@ -542,6 +549,14 @@ class CdcEngine:
         """
         from clinvar_ingest_spark.lakelet.table import align_select
 
+        if old_snapshot is None:
+            live = ~F.coalesce(F.col("_deleted"), F.lit(False))
+            return (
+                self.table.read(self.spark, new_snapshot)
+                .filter(live)
+                .drop("_seq", "_deleted", "_cells")
+                .withColumn("_change", F.lit("created"))
+            )
         new_m = self.table.manifest(new_snapshot)
         old_m = self.table.manifest(old_snapshot)
         buckets = self.changed_buckets(old_snapshot, new_snapshot)
@@ -596,13 +611,15 @@ class CdcEngine:
 
     def export_diff_ndjson(
         self,
-        old_snapshot: str,
+        old_snapshot: str | None,
         new_snapshot: str,
         out_dir: str,
         notify_sink=None,
     ) -> dict:
         """NDJSON slices per change type (reference: diff.py:185-207 export
         + date-present.yaml per-table get-created/deleted/updated).
+        ``old_snapshot=None`` exports the full snapshot as
+        ``change=created`` (date-absent.yaml:26-121 first-release path).
 
         ``notify_sink``: any ``bus.NotifySink`` — defaults to the file
         analogue (``_notify.json`` in the export dir); pass

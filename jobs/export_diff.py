@@ -44,11 +44,13 @@ def main(argv: list[str] | None = None) -> int:
 
     new = eng.table.current_snapshot_id() if args.new == "current" else args.new
     if args.old == "previous":
+        # date-absent branch (reference export-diff.yaml:34-41 →
+        # date-absent.yaml:26-121): with no preceding snapshot the
+        # whole release exports as change=created
         parent = eng.table.manifest(new).parent_id
-        if parent is None or not eng.table.has_snapshot(parent):
-            print(json.dumps({"error": "no preceding snapshot"}), file=sys.stderr)
-            return 2
-        old = parent
+        old = parent if (parent is not None and eng.table.has_snapshot(parent)) else None
+    elif args.old in ("none", "absent"):
+        old = None
     else:
         old = args.old
 

