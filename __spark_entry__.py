@@ -1033,7 +1033,12 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via SRP-LSH bucketing; cosine is
-    reported in exact integer e4 units for cross-engine hashing."""
+    reported in exact integer e4 units for cross-engine hashing.
+
+    ``bits`` is pinned (6) ONLY because the DuckDB oracle embeds the
+    same hyperplanes as a static literal; the production default is
+    ``bits=None`` → :func:`auto_srp_bits` (∝log₂ n), which the decade
+    bench measures at α≈1 (BENCH_SFSCALE `embedding_dup_auto`)."""
     from clinvar_ingest_spark.operators.similarity import cosine_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings").withColumn(

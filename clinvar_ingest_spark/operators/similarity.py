@@ -84,6 +84,27 @@ def cosine_topk_bruteforce(
     )
 
 
+def auto_srp_bits(
+    n_rows: int, target_bucket_rows: int = 128, lo: int = 4, hi: int = 24
+) -> int:
+    """Corpus-size-aware SRP width: enough hyperplanes that the expected
+    bucket holds ~``target_bucket_rows`` vectors.
+
+    The bucket self-join in :func:`cosine_dup_pairs` compares
+    O(n²/2^bits) pairs — at FIXED bits that is superlinear in n (the one
+    measured α=1.43 plan in BENCH_SFSCALE round 3). Holding the expected
+    bucket size B constant (bits = log2(n/B)) makes total comparisons
+    ≈ n·B — linear in n, the 100 TB contract. Clamped to [lo, hi]:
+    below 2^lo buckets LSH stops paying for itself; above ``hi`` bits
+    recall collapses for any realistic dim without multi-probe.
+    """
+    import math
+
+    if n_rows <= target_bucket_rows:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(n_rows / target_bucket_rows))))
+
+
 def srp_planes(dim: int, bits: int = 8, seed: int = 42) -> list[list[float]]:
     """Deterministic SRP hyperplanes as plain Python floats — the single
     source both the Spark plan (literal arrays) and any SQL oracle
@@ -134,13 +155,17 @@ def lsh_bucket_topk(
     queries: DataFrame,
     dim: int,
     k: int = 5,
-    bits: int = 8,
+    bits: int | None = None,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_hamming: int = 0,
 ) -> DataFrame:
     """Approximate top-k: score corpus rows in the query's SRP bucket.
+
+    ``bits=None`` (default) sizes the sketch from the corpus count via
+    :func:`auto_srp_bits`, keeping per-query candidate-scan cost
+    (n/2^bits) roughly constant as the corpus grows.
 
     ``probe_hamming`` > 0 enables **multi-probe**: each query also
     scans every bucket within that Hamming distance of its own sketch
@@ -152,6 +177,8 @@ def lsh_bucket_topk(
     join — the shuffle key stays a plain bucket id at any corpus
     size); the exact-cosine gate is unchanged.
     """
+    if bits is None:
+        bits = auto_srp_bits(corpus.count())
     c = srp_sketch(corpus, dim, bits, seed, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "_bucket"
     )
@@ -189,12 +216,21 @@ def cosine_dup_pairs(
     df: DataFrame,
     dim: int,
     threshold: float = 0.95,
-    bits: int = 10,
+    bits: int | None = None,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding near-dup pairs: SRP-bucket self-join + exact cosine gate."""
+    """Embedding near-dup pairs: SRP-bucket self-join + exact cosine gate.
+
+    ``bits=None`` (default) sizes the sketch from the corpus via
+    :func:`auto_srp_bits` — one O(1)-result count job — so the bucket
+    self-join stays linear in n at any corpus size instead of the
+    fixed-bits O(n²/2^bits). Pass explicit ``bits`` only with a
+    justified bits-vs-n argument (e.g. oracle parity at a pinned SF).
+    """
+    if bits is None:
+        bits = auto_srp_bits(df.count())
     s = srp_sketch(df, dim, bits, seed, vec_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "_bucket"
     )

@@ -202,3 +202,31 @@ def test_ivf_refine_improves_quantization(emb):
     refined = similarity.ivf_refine(df, cents, iters=2)
     assert len(refined) == 8
     assert mean_assign_cos(refined) >= mean_assign_cos(cents) - 1e-9
+
+
+def test_auto_srp_bits_scaling():
+    """bits grows ∝ log2(n): expected bucket size stays ~constant, so
+    the pair self-join is linear in n (the 100 TB contract; fixes the
+    round-3 fixed-bits α=1.43)."""
+    assert similarity.auto_srp_bits(100) == 4           # lo clamp
+    assert similarity.auto_srp_bits(128 * 2**8) == 8
+    assert similarity.auto_srp_bits(128 * 2**16) == 16
+    # 10x corpus ⇒ bits grows by ~log2(10)≈3.3 ⇒ bucket size constant
+    b1 = similarity.auto_srp_bits(10_000)
+    b2 = similarity.auto_srp_bits(100_000)
+    assert 3 <= b2 - b1 <= 4
+    assert similarity.auto_srp_bits(128 * 2**40) == 24  # hi clamp
+
+
+def test_cosine_dup_pairs_default_bits(emb):
+    """bits=None path: planted exact twins are still found at the auto
+    width (recall on identical vectors is bits-independent — same
+    sketch on both sides)."""
+    df, _ = emb
+    twin = df.limit(1).selectExpr("vec_id + 100000 AS vec_id", "embedding")
+    both = df.union(twin)
+    pairs = similarity.cosine_dup_pairs(both, dim=DIM, threshold=0.999).collect()
+    assert any(
+        {r["id_a"], r["id_b"]} >= {0, 100000} or r["id_b"] == 100000
+        for r in pairs
+    )
