@@ -1117,7 +1117,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fanout_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.8 fan-out parity: single parse pass → 9 tagged entity streams,
+    """§2.8 fan-out parity: single parse pass → 15 tagged entity streams
+    (reference table-count parity, ArchiveBranches.scala:16-32),
     LWW-deduped to each url's winning event (ArchiveBranches.scala
     52-119). Oracle mirrors both the dedup (QUALIFY) and every entity's
     extraction regex (RE2) over the same fixture changelog."""
@@ -1146,6 +1147,44 @@ def q_link_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = parse_entities(lww_winning_events(cl))
     resolved = resolve_link_targets(tagged)
     return resolved.groupBy("target_kind").agg(F.count("*").alias("n"))
+
+
+def q_fanout_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 per-stream treatment parity (ArchiveBranches.scala:115-137):
+    15 entity streams from ONE parse of every non-delete event — 4
+    dedupByDate streams (latest row per entity id), 1
+    aggregateSubmitters-style stream (host: latest scalars + sorted
+    url-set union), 10 passthrough. Per stream the query attests the
+    row count, the sum of surviving warc_ts (the right VERSIONS won)
+    and an md5 over the sorted k/v multiset (the right CONTENT won,
+    including the host union string)."""
+    from clinvar_ingest_spark.operators.fanout import fanout_archive
+
+    cl = spark.read.parquet(_ensure_cdc_fixture())
+    frames = fanout_archive(cl)
+    frames.pop("_tagged")  # persisted parse shared by the 15 branches
+    parts = [
+        df.select(
+            F.lit(et).alias("entity_type"),
+            "warc_ts",
+            F.concat(
+                F.coalesce(F.col("k"), F.lit("")),
+                F.lit("\x1e"),
+                F.coalesce(F.col("v"), F.lit("")),
+            ).alias("kv"),
+        )
+        for et, df in frames.items()
+    ]
+    un = parts[0]
+    for p in parts[1:]:
+        un = un.unionAll(p)
+    return un.groupBy("entity_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.coalesce(F.unix_micros("warc_ts"), F.lit(0))).alias("ts_sum"),
+        F.md5(F.array_join(F.array_sort(F.collect_list("kv")), "|")).alias(
+            "kv_hash"
+        ),
+    )
 
 
 def q_array_struct_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2112,6 +2151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_full_create": q_export_full_create,
         "patch_lww_users": q_patch_lww_users,
         "embedding_dup_pairs": q_embedding_dup_pairs,
+        "fanout_mix": q_fanout_mix,
         # -- engine-critical re-attests ------------------------------
         "schema_evolution_replay": q_schema_evolution_replay,
         "spec_grow_replay": q_spec_grow_replay,
@@ -2131,9 +2171,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_multiprobe_check": q_ann_multiprobe_check,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
-        "rolling_fingerprints": q_rolling_fingerprints,
         # ---------------- driver window boundary (~50) --------------
         # r3-green, code-stable tail (pytest + local oracle sweep):
+        "rolling_fingerprints": q_rolling_fingerprints,
         "set_union_event_types": q_set_union_event_types,
         "submitter_agg": q_submitter_agg,
         "latest_preceding_ts": q_latest_preceding_ts,
@@ -2730,6 +2770,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn = 1 AND op <> 'delete'
         """,
         "fanout_entities": _fanout_entities_sql(),
+        "fanout_mix": _fanout_mix_sql(),
         "link_targets": _link_targets_sql(),
         "release_cut_join": _release_cut_join_sql(),
         "array_struct_replay": f"""
@@ -3453,8 +3494,14 @@ _FANOUT_PATTERNS = {
     "anchor": r"(?is)<a\b[^>]*>(.*?)</a\s*>",
     "meta_lang": r'(?i)<html[^>]+lang\s*=\s*"([^"]*)"',
     "image": r'(?i)<img\b[^>]*src\s*=\s*["\']([^"\'>\s]+)["\']',
+    "paragraph": r"(?is)<p[^>]*>(.*?)</p\s*>",
+    "division": r"(?is)<div[^>]*>(.*?)</div\s*>",
+    "comment": r"(?s)<!--(.*?)-->",
+    "query_param": r'(?i)href\s*=\s*["\'][^"\'>\s?]*\?([^"\'>\s]+)["\']',
+    "external_link": r'(?i)href\s*=\s*["\'](https?://[^"\'>\s]+)["\']',
 }
 _RE_SCRIPT_SQL = r"(?i)<script\b"
+_RE_STYLE_SQL = r"(?i)<style\b"
 
 
 def _sqlq(pattern: str) -> str:
@@ -3482,6 +3529,8 @@ def _fanout_entities_sql() -> str:
         "SELECT 'host', count(*) FROM win",
         "SELECT 'script', count(*) FROM win "
         f"WHERE len(regexp_extract_all(h, '{_sqlq(_RE_SCRIPT_SQL)}')) > 0",
+        "SELECT 'style', count(*) FROM win "
+        f"WHERE len(regexp_extract_all(h, '{_sqlq(_RE_STYLE_SQL)}')) > 0",
     ]
     for entity, pat in _FANOUT_PATTERNS.items():
         arms.append(
@@ -3494,6 +3543,91 @@ def _fanout_entities_sql() -> str:
 SELECT entity_type, n FROM (
   {union}
 ) WHERE n > 0
+"""
+
+
+def _fanout_mix_sql() -> str:
+    """RE2 mirror of fanout_archive's 15 per-stream treatments: the
+    passthrough arms unnest every match of every event, the 4 dedup
+    arms window to rn=1 per entity id, the host arm joins the per-host
+    winner with the sorted url-set union (list_distinct/list_sort —
+    the same shape as the reference's aggregateSubmitters)."""
+    per_match = {
+        k: v
+        for k, v in _FANOUT_PATTERNS.items()
+        if k not in ("link", "title", "meta_lang")
+    }
+    arms = []
+    # 7 passthrough per-match streams
+    for entity, pat in per_match.items():
+        arms.append(
+            f"SELECT '{entity}' AS entity_type, warc_ts, "
+            f"unnest(regexp_extract_all(h, '{_sqlq(pat)}', 1)) AS k, "
+            "NULL AS v FROM ev"
+        )
+    # 2 passthrough per-page-count streams (k and v NULL)
+    for entity, pat in (("script", _RE_SCRIPT_SQL), ("style", _RE_STYLE_SQL)):
+        arms.append(
+            f"SELECT '{entity}', warc_ts, NULL, NULL FROM ev "
+            f"WHERE len(regexp_extract_all(h, '{_sqlq(pat)}')) > 0"
+        )
+    # 3 dedupByDate streams keyed by url (page k=lang; title/meta_lang
+    # k = the event's single match)
+    arms.append(
+        "SELECT 'page', warc_ts, lang, NULL FROM ("
+        "  SELECT *, row_number() OVER (PARTITION BY url"
+        "    ORDER BY warc_ts DESC, seq DESC) AS rn FROM ev) WHERE rn = 1"
+    )
+    for entity in ("title", "meta_lang"):
+        pat = _sqlq(_FANOUT_PATTERNS[entity])
+        arms.append(
+            f"SELECT '{entity}', warc_ts, k, NULL FROM ("
+            "  SELECT url, warc_ts, "
+            f"    unnest(regexp_extract_all(h, '{pat}', 1)) AS k, seq FROM ev"
+            ") t QUALIFY row_number() OVER (PARTITION BY url"
+            "    ORDER BY warc_ts DESC, seq DESC) = 1"
+        )
+    # 1 dedupByDate stream keyed by the entity's own id (href)
+    link_pat = _sqlq(_FANOUT_PATTERNS["link"])
+    arms.append(
+        "SELECT 'link', warc_ts, k, NULL FROM ("
+        "  SELECT url, warc_ts, "
+        f"    unnest(regexp_extract_all(h, '{link_pat}', 1)) AS k, seq FROM ev"
+        ") t QUALIFY row_number() OVER (PARTITION BY k"
+        "    ORDER BY warc_ts DESC, seq DESC) = 1"
+    )
+    # 1 aggregated stream: per-host winner scalars + sorted url union
+    arms.append(
+        """SELECT 'host', hw.warc_ts, hu.k,
+              hu.v FROM (
+         SELECT k, array_to_string(list_sort(list_distinct(list(url))), ',') AS v
+         FROM host_src GROUP BY k) hu
+       JOIN (
+         SELECT k, warc_ts FROM (
+           SELECT k, warc_ts, row_number() OVER (PARTITION BY k
+             ORDER BY warc_ts DESC, seq DESC) AS rn FROM host_src)
+         WHERE rn = 1) hw USING (k)"""
+    )
+    union = "\n  UNION ALL ".join(arms)
+    return f"""
+WITH ev AS (
+  SELECT url, warc_ts, seq, lang, decode(html) AS h
+  FROM read_parquet('{_ensure_cdc_fixture()}')
+  WHERE op <> 'delete' AND html IS NOT NULL
+),
+host_src AS (
+  SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS k, url, warc_ts, seq
+  FROM ev
+),
+rows_all AS (
+  {union}
+)
+SELECT entity_type,
+       count(*) AS n_rows,
+       CAST(sum(coalesce(epoch_us(warc_ts), 0)) AS BIGINT) AS ts_sum,
+       md5(string_agg(coalesce(k, '') || chr(30) || coalesce(v, ''), '|'
+           ORDER BY coalesce(k, '') || chr(30) || coalesce(v, ''))) AS kv_hash
+FROM rows_all GROUP BY entity_type
 """
 
 

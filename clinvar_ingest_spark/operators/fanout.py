@@ -9,7 +9,7 @@ entity) → ``persist()`` → N filtered projections/writes. The persist
 replaces Beam's single-pass guarantee.
 
 Entities emitted per page event (the web analogue of the reference's
-15-way entity split):
+15-way entity split — exactly 15 streams, ArchiveBranches.scala:16-32):
 
 - ``page``      — the page itself (k=lang, n=len(text))
 - ``host``      — one row per page for per-host rollups (k=host)
@@ -20,12 +20,24 @@ Entities emitted per page event (the web analogue of the reference's
 - ``meta_lang`` — declared <html lang=…> (k=lang attr)
 - ``script``    — one row per page that carries <script> tags (n=count)
 - ``image``     — one row per <img src=…> (k=src)
+- ``style``     — one row per page that carries <style> tags (n=count)
+- ``paragraph`` — one row per <p>…</p> (k=contents)
+- ``division``  — one row per <div>…</div> (k=contents)
+- ``comment``   — one row per <!-- … --> (k=contents)
+- ``query_param``   — one row per href carrying a ?query (k=query)
+- ``external_link`` — one row per absolute http(s) href (k=href)
 
-Two post-parse operators mirror the reference's stream treatments:
+Post-parse operators mirror the reference's stream treatments:
 
-- :func:`fanout` with ``dedup=True`` — LWW dedup: entities derive from
-  each url's latest non-deleted event only (reference ``dedupByDate``
-  applied to 5 of its 15 streams, ArchiveBranches.scala:115-119,140-156).
+- :func:`fanout` with ``dedup=True`` — source-level LWW dedup: entities
+  derive from each url's latest non-deleted event only.
+- :func:`fanout_archive` — the reference's EXACT per-stream mix
+  (ArchiveBranches.scala:115-137): every non-delete event is parsed,
+  then 4 streams are ``dedupByDate``-reduced per entity id
+  (:data:`DEDUP_ID_COL`), 1 stream (``host``) is aggregated like
+  ``aggregateSubmitters`` (latest scalars + sorted set-union across
+  all versions, ArchiveBranches.scala:158-172), and the other 10 pass
+  through untouched.
 - :func:`resolve_link_targets` — cross-entity id fixup: link hrefs are
   normalized and resolved against the page stream to attach the target
   page's id (reference's SCV-accession rewrite, VCV.scala:167-174).
@@ -50,6 +62,7 @@ ENTITY_SCHEMA = T.StructType(
         T.StructField("entity_type", T.StringType()),
         T.StructField("url", T.StringType()),
         T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("seq", T.LongType()),   # source event seq (order tiebreak)
         T.StructField("k", T.StringType()),   # entity-specific key
         T.StructField("v", T.StringType()),   # entity-specific value
         T.StructField("n", T.LongType()),     # entity-specific measure
@@ -58,11 +71,19 @@ ENTITY_SCHEMA = T.StructType(
 
 ENTITY_TYPES = (
     "page", "host", "link", "title", "heading", "anchor",
-    "meta_lang", "script", "image",
+    "meta_lang", "script", "image", "style", "paragraph", "division",
+    "comment", "query_param", "external_link",
 )
 
 #: streams the reference would LWW-dedup (ArchiveBranches.scala:115-119)
 DEDUP_ENTITY_TYPES = ("page", "host", "link", "title", "meta_lang")
+
+#: the reference's per-stream mix: 4 dedupByDate'd streams keyed by the
+#: entity's OWN id (gene/trait_set/trait/submission ↔ these), 1
+#: aggregated stream (submitters ↔ host), 10 passthrough
+#: (ArchiveBranches.scala:115-137)
+DEDUP_ID_COL = {"page": "url", "title": "url", "meta_lang": "url", "link": "k"}
+AGGREGATE_TYPES = ("host",)
 
 # Patterns are pinned (like the extractor): every one has an exact RE2
 # mirror used by the DuckDB oracle, so keep them RE2-compatible.
@@ -74,6 +95,12 @@ _RE_ANCHOR = re.compile(r"(?is)<a\b[^>]*>(.*?)</a\s*>")
 _RE_META_LANG = re.compile(r'(?i)<html[^>]+lang\s*=\s*"([^"]*)"')
 _RE_SCRIPT = re.compile(r"(?i)<script\b")
 _RE_IMG_SRC = re.compile(r'(?i)<img\b[^>]*src\s*=\s*["\']([^"\'>\s]+)["\']')
+_RE_STYLE = re.compile(r"(?i)<style\b")
+_RE_PARAGRAPH = re.compile(r"(?is)<p[^>]*>(.*?)</p\s*>")
+_RE_DIVISION = re.compile(r"(?is)<div[^>]*>(.*?)</div\s*>")
+_RE_COMMENT = re.compile(r"(?s)<!--(.*?)-->")
+_RE_QUERY_PARAM = re.compile(r'(?i)href\s*=\s*["\'][^"\'>\s?]*\?([^"\'>\s]+)["\']')
+_RE_EXTERNAL_LINK = re.compile(r'(?i)href\s*=\s*["\'](https?://[^"\'>\s]+)["\']')
 
 #: href → canonical target url (strip query + fragment)
 _RE_HREF_NORM = r"[?#].*$"
@@ -97,9 +124,28 @@ def parse_entities(changelog: DataFrame) -> DataFrame:
                 "entity_type": entity,
                 "url": pdf["url"].repeat(counts).to_numpy(),
                 "warc_ts": pdf["warc_ts"].repeat(counts).to_numpy(),
+                "seq": pdf["seq"].repeat(counts).to_numpy(),
                 "k": [m for ms in found for m in ms],
                 "v": None,
                 "n": 1,
+            }
+        )
+
+    def _per_page_count(pdf: pd.DataFrame, html: pd.Series, pat, entity: str):
+        """One output row per page that matches at all (n=match count)."""
+        cnt = html.str.count(pat)
+        withs = cnt > 0
+        if not withs.any():
+            return None
+        return pd.DataFrame(
+            {
+                "entity_type": entity,
+                "url": pdf.loc[withs, "url"],
+                "warc_ts": pdf.loc[withs, "warc_ts"],
+                "seq": pdf.loc[withs, "seq"],
+                "k": None,
+                "v": None,
+                "n": cnt[withs].astype("int64"),
             }
         )
 
@@ -117,6 +163,7 @@ def parse_entities(changelog: DataFrame) -> DataFrame:
                     "entity_type": "page",
                     "url": pdf["url"],
                     "warc_ts": pdf["warc_ts"],
+                    "seq": pdf["seq"],
                     "k": pdf["lang"],
                     "v": None,
                     "n": text.str.len().astype("int64"),
@@ -128,6 +175,7 @@ def parse_entities(changelog: DataFrame) -> DataFrame:
                     "entity_type": "host",
                     "url": pdf["url"],
                     "warc_ts": pdf["warc_ts"],
+                    "seq": pdf["seq"],
                     "k": hosts,
                     "v": None,
                     "n": 1,
@@ -140,23 +188,19 @@ def parse_entities(changelog: DataFrame) -> DataFrame:
                 (_RE_ANCHOR, "anchor"),
                 (_RE_META_LANG, "meta_lang"),
                 (_RE_IMG_SRC, "image"),
+                (_RE_PARAGRAPH, "paragraph"),
+                (_RE_DIVISION, "division"),
+                (_RE_COMMENT, "comment"),
+                (_RE_QUERY_PARAM, "query_param"),
+                (_RE_EXTERNAL_LINK, "external_link"),
             ):
                 out = _per_match(pdf, html, pat, entity)
                 if out is not None:
                     yield out
-            scripts = html.str.count(_RE_SCRIPT)
-            withs = scripts > 0
-            if withs.any():
-                yield pd.DataFrame(
-                    {
-                        "entity_type": "script",
-                        "url": pdf.loc[withs, "url"],
-                        "warc_ts": pdf.loc[withs, "warc_ts"],
-                        "k": None,
-                        "v": None,
-                        "n": scripts[withs].astype("int64"),
-                    }
-                )
+            for pat, entity in ((_RE_SCRIPT, "script"), (_RE_STYLE, "style")):
+                out = _per_page_count(pdf, html, pat, entity)
+                if out is not None:
+                    yield out
 
     return changelog.mapInPandas(run, schema=ENTITY_SCHEMA)
 
@@ -189,6 +233,93 @@ def fanout(
     out: dict[str, DataFrame] = {"_tagged": tagged}
     for et in entity_types:
         out[et] = tagged.filter(F.col("entity_type") == et).drop("entity_type")
+    return out
+
+
+def dedup_by_date(tagged_stream: DataFrame, id_col: str) -> DataFrame:
+    """Reference ``dedupByDate`` (ArchiveBranches.scala:140-156): one
+    row per entity id — the latest by (warc_ts, seq). NULL warc_ts
+    sorts lowest (the reference keeps an arbitrary element when no
+    version is dated; seq makes our pick deterministic).
+
+    Plan: a single window shuffle keyed on the entity id; partial
+    evaluation is unnecessary because rn=1 prunes at the first sort.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("warc_ts").desc_nulls_last(), F.col("seq").desc()
+    )
+    return (
+        tagged_stream.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def aggregate_hosts(tagged_stream: DataFrame) -> DataFrame:
+    """Reference ``aggregateSubmitters`` (ArchiveBranches.scala:158-172)
+    applied to the host stream: per host id, the LATEST version wins
+    every scalar field, while ``v`` becomes the sorted set-union of all
+    urls ever seen for the host (the reference unions allNames /
+    allAbbrevs across versions and sorts). ``n`` counts versions.
+
+    Plan: one hash aggregation on the host key — ``max_by`` and
+    ``collect_set`` both have partial (map-side) implementations, so
+    the shuffle carries one partially-reduced row per (partition, host).
+    """
+    latest = F.max_by(
+        F.struct("url", "warc_ts", "seq"), F.struct("warc_ts", "seq")
+    ).alias("_latest")
+    return (
+        tagged_stream.groupBy("k")
+        .agg(
+            latest,
+            F.array_join(F.array_sort(F.collect_set("url")), ",").alias("v"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.col("_latest.url").alias("url"),
+            F.col("_latest.warc_ts").alias("warc_ts"),
+            F.col("_latest.seq").alias("seq"),
+            "k",
+            "v",
+            "n",
+        )
+    )
+
+
+def fanout_archive(
+    changelog: DataFrame,
+    entity_types: tuple[str, ...] = ENTITY_TYPES,
+) -> dict[str, DataFrame]:
+    """The reference's exact 15-stream split with per-stream treatments
+    (ArchiveBranches.scala:115-137): parse EVERY non-delete event once,
+    then
+
+    - 4 streams dedup to the latest version per entity id
+      (:data:`DEDUP_ID_COL` — reference dedupByDate on gene /
+      trait_set / trait / submission),
+    - 1 stream (``host``) aggregates latest-scalars + sorted set-union
+      (reference aggregateSubmitters),
+    - the remaining 10 pass through untouched (one row per emission,
+      like the reference's scv* / rcv / vcv / geneAssociation /
+      traitMapping side outputs).
+
+    Returns ``{"_tagged": <persisted parse>, <entity>: <treated DF>}``;
+    unpersist ``_tagged`` when the downstream actions are done.
+    """
+    src = changelog.filter(F.col("op") != "delete")
+    tagged = parse_entities(src).persist()
+    out: dict[str, DataFrame] = {"_tagged": tagged}
+    for et in entity_types:
+        stream = tagged.filter(F.col("entity_type") == et).drop("entity_type")
+        if et in DEDUP_ID_COL:
+            out[et] = dedup_by_date(stream, DEDUP_ID_COL[et])
+        elif et in AGGREGATE_TYPES:
+            out[et] = aggregate_hosts(stream)
+        else:
+            out[et] = stream
     return out
 
 
@@ -293,9 +424,14 @@ def write_fanout_lakelet(
                 # short-circuit): re-running is a no-op
                 out[et] = t.current_snapshot_id()
                 continue
-            rows = df.withColumn(
-                "ek", F.concat_ws("\x1f", F.col("url"), F.coalesce("k", F.lit("")))
-            ).withColumn("_bucket", bucket_expr("ek", n_buckets))
+            rows = (
+                df.withColumn(
+                    "ek",
+                    F.concat_ws("\x1f", F.col("url"), F.coalesce("k", F.lit(""))),
+                )
+                .withColumn("_bucket", bucket_expr("ek", n_buckets))
+                .select("ek", "url", "warc_ts", "k", "v", "n", "_bucket")
+            )
             out[et] = t.commit_rewrite(
                 rows.sparkSession,
                 rows,

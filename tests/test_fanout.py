@@ -63,11 +63,20 @@ def test_write_fanout_tables(spark, changelog_df, tmp_path):
     assert set(counts) == set(ENTITY_TYPES)
     pages = spark.read.parquet(str(tmp_path / "out" / "page"))
     assert pages.count() == counts["page"]
-    assert {f.name for f in pages.schema.fields} == {"url", "warc_ts", "k", "v", "n"}
+    assert {f.name for f in pages.schema.fields} == {
+        "url", "warc_ts", "seq", "k", "v", "n",
+    }
     # the generated html template carries title/h1/anchors/scripts but no <img>
     assert counts["title"] == counts["page"] == counts["script"] == counts["meta_lang"]
     assert counts["heading"] > 0 and counts["anchor"] >= counts["link"] > 0
     assert counts["image"] == 0
+    # 15-stream parity additions: 1 <style>, 1 comment, 1 <div>, 1 ?query
+    # per page; 2 <p> blocks and 2 absolute hrefs per page
+    assert (
+        counts["style"] == counts["comment"] == counts["division"]
+        == counts["query_param"] == counts["page"]
+    )
+    assert counts["paragraph"] == counts["external_link"] == counts["link"]
 
 
 def test_fanout_dedup_streams(spark, changelog_df, changelog_pdf):
@@ -86,6 +95,75 @@ def test_fanout_dedup_streams(spark, changelog_df, changelog_pdf):
         got = {r["url"]: r["warc_ts"] for r in frames["page"].collect()}
         want = dict(zip(winners["url"], winners["warc_ts"]))
         assert got == want
+    finally:
+        frames["_tagged"].unpersist()
+
+
+def test_fanout_archive_per_stream_mix(spark, changelog_df, changelog_pdf):
+    """Reference parity (ArchiveBranches.scala:115-137 +
+    ArchiveBranchesSpec.scala): 15 streams from one parse with the
+    reference's exact treatment mix — 4 dedupByDate streams keep the
+    latest row per entity id, host aggregates latest-scalars + the
+    sorted url-set union (aggregateSubmitters shape), and the other 10
+    pass through one row per emission of EVERY non-delete event."""
+    from clinvar_ingest_spark.operators.fanout import (
+        ENTITY_TYPES,
+        fanout_archive,
+    )
+
+    frames = fanout_archive(changelog_df)
+    live = changelog_pdf[changelog_pdf["op"] != "delete"]
+    live = live[live["html"].notna()]
+    try:
+        assert set(frames) == set(ENTITY_TYPES) | {"_tagged"}
+        assert len(ENTITY_TYPES) == 15  # reference table-count parity
+
+        # passthrough: one row per match of every live event
+        assert frames["heading"].count() == len(live)  # 1 <h1> per page
+        want_links = sum(
+            len(_RE_HREF.findall(b.decode("utf-8"))) for b in live["html"]
+        )
+        assert frames["anchor"].count() == want_links
+        assert frames["paragraph"].count() == 2 * len(live)
+
+        # dedupByDate keyed by the entity's own id: link = one row per
+        # distinct href, carrying the href's LATEST (warc_ts, seq)
+        exploded = []
+        for _, r in live.iterrows():
+            for href in _RE_HREF.findall(r["html"].decode("utf-8")):
+                exploded.append((href, r["warc_ts"], r["seq"]))
+        want = {}
+        for href, ts, seq in exploded:
+            if href not in want or (ts, seq) > want[href]:
+                want[href] = (ts, seq)
+        got = {
+            r["k"]: (r["warc_ts"], r["seq"]) for r in frames["link"].collect()
+        }
+        assert got == want
+
+        # page dedup keyed by url: latest non-delete event per url
+        winners = (
+            live.sort_values(["warc_ts", "seq"]).groupby("url").tail(1)
+        )
+        got_pages = {
+            r["url"]: (r["warc_ts"], r["k"]) for r in frames["page"].collect()
+        }
+        want_pages = dict(
+            zip(winners["url"], zip(winners["warc_ts"], winners["lang"]))
+        )
+        assert got_pages == want_pages
+
+        # host aggregation: latest scalars + sorted set-union of urls
+        hosts = live.assign(
+            host=live["url"].str.extract(r"^[a-z]+://([^/]+)", expand=False)
+        )
+        row = frames["host"].orderBy("k").first()
+        grp = hosts[hosts["host"] == row["k"]]
+        latest = grp.sort_values(["warc_ts", "seq"]).iloc[-1]
+        assert row["url"] == latest["url"]
+        assert row["warc_ts"] == latest["warc_ts"]
+        assert row["v"] == ",".join(sorted(set(grp["url"])))
+        assert row["n"] == len(grp)
     finally:
         frames["_tagged"].unpersist()
 
