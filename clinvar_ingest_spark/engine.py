@@ -51,6 +51,7 @@ class CdcEngine:
         validate: bool | list = False,
         max_records_per_file: int | None = None,
         patch_ops: bool = False,
+        retry_policy=None,
     ):
         """``strategy``: 'cogroup' (default; per-bucket applyInPandas,
         2 shuffles/batch) or 'join' (full-outer-join formulation,
@@ -104,6 +105,10 @@ class CdcEngine:
                 "MorCarryoverRequired)"
             )
         self.spark = spark
+        # transient-IO retry envelope around every batch commit
+        # (reference's jittered TDR-job polling, poll-ingest-job.py:46-56);
+        # None → the RetryPolicy defaults
+        self.retry_policy = retry_policy
         self.strategy = strategy
         self.extract_kernel = extract_kernel
         self.write_mode = write_mode
@@ -182,14 +187,25 @@ class CdcEngine:
         NEW current snapshot (the merge itself re-reads state, so a
         retry is a full re-diff — never a blind re-commit). If the
         competing writer applied this very batch, the re-check turns
-        the retry into a no-op skip."""
+        the retry into a no-op skip.
+
+        Transient IO errors inside the commit get their own bounded
+        jittered-backoff envelope (``retry_policy``; reference parity:
+        poll-ingest-job.py:46-56) — every commit is idempotent by
+        deterministic batch id, so a transient retry reconverges to the
+        same snapshot. OCC conflicts pass through the envelope to THIS
+        loop, which re-plans instead of blindly re-committing."""
         from clinvar_ingest_spark.lakelet.table import CommitConflictError
+        from clinvar_ingest_spark.retry import with_retries
 
         last_err: CommitConflictError | None = None
         for _attempt in range(max_commit_retries):
             try:
-                return self._apply_batch_once(
-                    batch, first_seq, last_seq, assume_all_buckets
+                return with_retries(
+                    lambda: self._apply_batch_once(
+                        batch, first_seq, last_seq, assume_all_buckets
+                    ),
+                    self.retry_policy,
                 )
             except CommitConflictError as e:
                 last_err = e
