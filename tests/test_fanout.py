@@ -168,6 +168,60 @@ def test_fanout_archive_per_stream_mix(spark, changelog_df, changelog_pdf):
         frames["_tagged"].unpersist()
 
 
+def test_dedup_by_date_null_ts_deterministic(spark):
+    """Reference branch parity (ArchiveBranches.scala:146-152: a group
+    with NO dated element still keeps exactly one): NULL warc_ts sorts
+    lowest, and an all-NULL group resolves deterministically by seq."""
+    import datetime
+
+    from clinvar_ingest_spark.operators.fanout import dedup_by_date
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        # id "a": dated beats undated regardless of seq
+        ("u1", None, 9, "a", None, 1),
+        ("u2", ts, 1, "a", None, 1),
+        # id "b": all undated → highest seq wins (deterministic pick)
+        ("u3", None, 3, "b", None, 1),
+        ("u4", None, 7, "b", None, 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, seq long, k string, v string, n long"
+    )
+    got = {r["k"]: (r["url"], r["warc_ts"], r["seq"]) for r in dedup_by_date(df, "k").collect()}
+    assert got == {"a": ("u2", ts, 1), "b": ("u4", None, 7)}
+
+
+def test_fanout_treatment_plan_shapes(spark, changelog_df):
+    """Scale contract: host aggregation is ONE Exchange with partial
+    (map-side) max_by/collect_set/count before it; the dedupByDate
+    window gets a WindowGroupLimit BELOW its single Exchange (map-side
+    top-1 per key), so the shuffle is ∝ distinct ids, not events."""
+    from clinvar_ingest_spark.operators.fanout import (
+        aggregate_hosts,
+        dedup_by_date,
+        parse_entities,
+    )
+
+    tagged = parse_entities(changelog_df.filter("op <> 'delete'"))
+    host_plan = (
+        aggregate_hosts(tagged.filter("entity_type = 'host'").drop("entity_type"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert host_plan.count("Exchange") == 1
+    assert "partial_max_by" in host_plan and "partial_collect_set" in host_plan
+    assert host_plan.index("partial_max_by") > host_plan.index("Exchange")
+    # (executedPlan prints top-down: partial agg appears BELOW/after
+    # the Exchange line in the string, i.e. runs before the shuffle)
+
+    link_plan = (
+        dedup_by_date(tagged.filter("entity_type = 'link'").drop("entity_type"), "k")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert link_plan.count("Exchange") == 1
+    assert link_plan.count("WindowGroupLimit") == 2  # map-side + final
+
+
 def test_write_fanout_lakelet_versioned_tables(spark, changelog_df, tmp_path):
     """Reference sink-model parity: every entity lands in its own
     VERSIONED snapshot table; a second batch commits a new version and
