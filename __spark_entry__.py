@@ -449,6 +449,195 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: two-sided nation join (supplier nation ×
+    customer nation) with a cross-border filter (supp ≠ cust nation —
+    the generalization of Q7's either-direction pair list that stays
+    non-empty at every SF of this corpus) and per-(pair, year) revenue
+    rollup. Both nation dims broadcast; the fact joins stay on their
+    natural keys."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(F.sum(rev).alias("revenue_e4"))
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: market share — a conditional aggregate over a
+    5-way snowflake (region→customer side, nation→supplier side, part
+    type filter), share as an integer permille so the ratio is
+    hash-stable cross-engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
+    j = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("s_nationkey") == 3, rev).otherwise(F.lit(0))
+            ).alias("nation_revenue_e4"),
+            F.sum(rev).alias("total_revenue_e4"),
+        )
+        .select(
+            "o_year",
+            "nation_revenue_e4",
+            "total_revenue_e4",
+            F.expr(
+                "nation_revenue_e4 * 1000 DIV total_revenue_e4"
+            ).alias("share_permille"),
+        )
+    )
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution — LEFT OUTER
+    join (customers with zero orders must survive), per-customer
+    conditional count, then a second aggregation over the counts."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: top supplier — a revenue view plus a correlated
+    max filter (revenue == scalar max), the broadcast-scalar form of
+    the classic view + subquery. Integer cents keep the max equality
+    exact."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
+            ).alias("total_revenue_e4")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue_e4").alias("_mx"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue_e4") == F.col("_mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue_e4")
+    )
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 join topology (EXISTS + NOT EXISTS double self-join on
+    the fact): suppliers whose line shipped strictly LAST within a
+    multi-supplier order — exists(other supplier in order) and not
+    exists(other supplier shipped later). l_shipdate stands in for the
+    commit/receipt columns this corpus doesn't carry; the nation filter
+    is dropped because single-digit supplier counts at small SF would
+    leave the canonical NATION pick empty."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    l1 = li.join(
+        F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"]
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "s_name")
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("o3"),
+        F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("d3"),
+    )
+    waited = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == F.col("o3"))
+        & (F.col("l_suppkey") != F.col("s3"))
+        & (F.col("d3") > F.col("l_shipdate")),
+        "left_anti",
+    )
+    return waited.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: global-average scalar subquery + NOT EXISTS
+    anti-join — rich customers (above the average positive balance of
+    their nation group) with no URGENT order (this corpus gives every
+    customer at least one order, so the canonical no-order predicate
+    would be vacuously empty; the anti-join topology is identical).
+    The average threshold is an INTEGER (cents, floor division) so the
+    boundary comparison is hash-stable cross-engine."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(0, 1, 2, 3)
+    ).withColumn("bal_cents", _cents(F.col("c_acctbal")))
+    avg_pos = cust.filter(F.col("bal_cents") > 0).agg(
+        F.expr("sum(bal_cents) DIV count(1)").alias("_avg_cents")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    rich = cust.join(
+        F.broadcast(avg_pos), F.col("bal_cents") > F.col("_avg_cents")
+    ).join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    return rich.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum("bal_cents").alias("totacctbal_cents"),
+    )
+
+
 def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test corpus split (80/10/10 on the
     cross-engine md5-48 of the doc id — partition-invariant, stable
@@ -2187,6 +2376,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12": q_tpch_q12,
         "tpch_q14": q_tpch_q14,
         "tpch_q18": q_tpch_q18,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
         "corpus_split": q_corpus_split,
         "order_revenue": q_order_revenue,
         "revenue_by_nation": q_revenue_by_nation,
@@ -2385,6 +2580,104 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END)
                         * 1000 // sum(rev_e4) AS BIGINT) AS promo_permille
             FROM j
+        """,
+        "tpch_q7": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l_shipdate) AS l_year,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                       * 10000, 0) AS BIGINT)) AS BIGINT)
+                     AS revenue_e4
+            FROM lineitem
+            JOIN orders    ON l_orderkey = o_orderkey
+            JOIN customer  ON o_custkey = c_custkey
+            JOIN supplier  ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+              AND n1.n_name <> n2.n_name
+            GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "tpch_q8": """
+            WITH j AS (
+              SELECT year(o_orderdate) AS o_year,
+                     CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)
+                          AS BIGINT) AS rev_e4,
+                     s_nationkey
+              FROM lineitem
+              JOIN part     ON l_partkey = p_partkey
+              JOIN orders   ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation   ON c_nationkey = n_nationkey
+              JOIN region   ON n_regionkey = r_regionkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+                AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+            )
+            SELECT o_year,
+                   CAST(sum(CASE WHEN s_nationkey = 3 THEN rev_e4 ELSE 0 END)
+                     AS BIGINT) AS nation_revenue_e4,
+                   CAST(sum(rev_e4) AS BIGINT) AS total_revenue_e4,
+                   CAST(sum(CASE WHEN s_nationkey = 3 THEN rev_e4 ELSE 0 END)
+                        * 1000 // sum(rev_e4) AS BIGINT) AS share_permille
+            FROM j GROUP BY o_year
+        """,
+        "tpch_q13": """
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer
+              LEFT JOIN orders ON c_custkey = o_custkey
+                              AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey
+            ) GROUP BY c_count
+        """,
+        "tpch_q15": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                         * 10000, 0) AS BIGINT)) AS BIGINT)
+                       AS total_revenue_e4
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+              GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_revenue_e4
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue_e4 = (SELECT max(total_revenue_e4) FROM rev)
+        """,
+        "tpch_q21": """
+            SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM lineitem l1
+            JOIN supplier ON l1.l_suppkey = s_suppkey
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (
+                SELECT 1 FROM lineitem l3
+                WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey
+                  AND l3.l_shipdate > l1.l_shipdate)
+            GROUP BY s_name
+        """,
+        "tpch_q22": """
+            WITH cust AS (
+              SELECT c_custkey, c_nationkey,
+                     CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+              FROM customer WHERE c_nationkey IN (0, 1, 2, 3)
+            )
+            SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+                   CAST(sum(bal_cents) AS BIGINT) AS totacctbal_cents
+            FROM cust
+            WHERE bal_cents > (SELECT sum(bal_cents) // count(*)
+                               FROM cust WHERE bal_cents > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderpriority = '1-URGENT')
+            GROUP BY c_nationkey
         """,
         "tpch_q5": """
             SELECT n_name,

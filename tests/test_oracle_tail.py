@@ -23,6 +23,13 @@ TAIL_QUERIES = [
     "tpch_q12",
     "tpch_q14",
     "tpch_q18",
+    # round-4 additions (correlated/anti-join/distribution shapes)
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q21",
+    "tpch_q22",
 ]
 
 
