@@ -1338,6 +1338,21 @@ def q_link_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolved.groupBy("target_kind").agg(F.count("*").alias("n"))
 
 
+def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring dedup (Lee et al. 2022
+    ExactSubstr): 8-token spans shared by ≥2 docs are cut from every
+    carrier, documents reassembled from surviving tokens. Spark joins
+    on xxhash64 window fingerprints (the 8-byte-shuffle-key scale
+    path); the oracle compares window CONTENT — results agree unless
+    xxhash64 collides (deterministic data, ~1e-10, same caveat as
+    rolling_fingerprints)."""
+    from clinvar_ingest_spark.operators.dedupe import exact_substring_dedup
+
+    return exact_substring_dedup(
+        _t(spark, sf_dir, "documents"), window=8, min_docs=2
+    )
+
+
 def q_fanout_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 per-stream treatment parity (ArchiveBranches.scala:115-137):
     15 entity streams from ONE parse of every non-delete event — 4
@@ -2341,6 +2356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "patch_lww_users": q_patch_lww_users,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "fanout_mix": q_fanout_mix,
+        "exact_substring_dedup": q_exact_substring_dedup,
         # -- engine-critical re-attests ------------------------------
         "schema_evolution_replay": q_schema_evolution_replay,
         "spec_grow_replay": q_spec_grow_replay,
@@ -3064,6 +3080,52 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fanout_entities": _fanout_entities_sql(),
         "fanout_mix": _fanout_mix_sql(),
+        "exact_substring_dedup": r"""
+            -- content-keyed mirror of the xxhash64-fingerprint Spark
+            -- plan (same caveat as rolling_fingerprints: agree unless
+            -- a 64-bit hash collision, ~1e-10 on deterministic data)
+            WITH tk AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+              FROM documents
+            ),
+            tok AS (
+              SELECT doc_id, unnest(t) AS tok,
+                     generate_subscripts(t, 1) - 1 AS pos
+              FROM tk
+            ),
+            w AS (
+              SELECT doc_id, unnest(wins) AS win,
+                     generate_subscripts(wins, 1) - 1 AS start
+              FROM (
+                SELECT doc_id,
+                       CASE WHEN len(t) < 8 THEN []::VARCHAR[]
+                            ELSE list_transform(range(1, len(t) - 6),
+                                   i -> array_to_string(
+                                          list_slice(t, i, i + 7), ' '))
+                       END AS wins
+                FROM tk)
+            ),
+            dup AS (SELECT win FROM w
+                    GROUP BY win HAVING count(DISTINCT doc_id) >= 2),
+            cov AS (
+              SELECT DISTINCT doc_id, start + o AS pos
+              FROM w JOIN dup USING (win)
+              CROSS JOIN range(8) r(o)
+            ),
+            kept AS (
+              SELECT t.doc_id, t.pos, t.tok
+              FROM tok t WHERE NOT EXISTS (
+                SELECT 1 FROM cov c
+                WHERE c.doc_id = t.doc_id AND c.pos = t.pos)
+            )
+            SELECT tk.doc_id,
+                   len(tk.t) AS n_tokens,
+                   CAST(count(k.tok) AS BIGINT) AS n_kept,
+                   md5(coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), ''))
+                     AS kept_md5
+            FROM tk LEFT JOIN kept k ON k.doc_id = tk.doc_id
+            GROUP BY tk.doc_id, len(tk.t)
+        """,
         "link_targets": _link_targets_sql(),
         "release_cut_join": _release_cut_join_sql(),
         "array_struct_replay": f"""

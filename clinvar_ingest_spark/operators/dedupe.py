@@ -603,3 +603,96 @@ def segment_dedup(
             F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
         )
     )
+
+
+# ------------------------------------------------- exact-substring dedup
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document EXACT-SUBSTRING dedup (the ExactSubstr recipe of
+    Lee et al. 2022, re-expressed as DataFrame ops): any ``window``-token
+    span whose content occurs in ≥ ``min_docs`` distinct documents is a
+    duplicated substring; every token covered by at least one duplicated
+    span is cut from EVERY document carrying it, and each document is
+    reassembled from its surviving tokens in original order. Complements
+    :func:`segment_dedup` (non-overlapping segments, first-copy-wins):
+    here windows OVERLAP, so arbitrary-alignment duplication is caught,
+    and all copies are cut (the suffix-array semantics, minus the
+    suffix array).
+
+    Plan (all linear in corpus tokens, k = ``window`` a constant):
+    posexplode rolling windows fingerprinted with xxhash64 (8-byte
+    shuffle keys); TWO-level hash agg for the distinct-doc count per
+    fingerprint; left-semi back onto occurrences; explode k offsets per
+    duplicated occurrence → distinct (doc, pos) cover set; left-anti
+    from the token table; one final agg per doc for reassembly. No
+    all-pairs stage anywhere — the heaviest shuffle is ~tokens rows of
+    (hash, doc). A boilerplate span seen in millions of docs costs its
+    occurrence count, not its pair count.
+
+    Returns (id, n_tokens, n_kept, kept_md5) — kept_md5 is the md5 of
+    the space-joined surviving tokens ('' ⇒ md5 of the empty string),
+    so a SQL oracle can compare exact content without shipping it.
+    """
+    from clinvar_ingest_spark.functions.text import tokens
+
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t")
+    )
+    tok = base.select(
+        "id", F.posexplode("t").alias("pos", "tok")
+    )
+    win_hashes = F.when(
+        F.size("t") < window, F.array().cast("array<long>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - window),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice("t", i + 1, window))),
+        )
+    )
+    wins = base.select("id", F.posexplode(win_hashes).alias("start", "h"))
+    dup = (
+        wins.groupBy("h")
+        .agg(F.countDistinct("id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    covered = (
+        wins.join(dup, "h", "left_semi")
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + window - 1)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = tok.join(covered, ["id", "pos"], "left_anti")
+    reassembled = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            )
+        ).alias("kept_md5"),
+    )
+    return (
+        base.select("id", F.size("t").alias("n_tokens"))
+        .join(reassembled, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
+        )
+    )

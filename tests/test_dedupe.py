@@ -242,3 +242,60 @@ def test_segment_dedup_single_shuffle_plan(spark):
     # one exchange on seg (window) + one on id (reassembly) + one on the
     # left-join reattach key at most; never an exchange-per-stage blowup
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_exact_substring_dedup_cuts_shared_spans(spark):
+    """ExactSubstr semantics (Lee et al. 2022): an 8-token span shared
+    by two docs is cut from BOTH (all-copies-cut, unlike segment
+    dedup's first-copy-wins); unique text survives; untouched and
+    fully-duplicated docs behave at the boundaries."""
+    import hashlib
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five"),
+            (2, f"six seven {shared} eight"),
+            (3, "n1 n2 n3 n4 n5 n6 n7 n8 n9"),  # no shared window
+            (4, shared),  # entirely duplicated
+            (5, shared),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedupe.exact_substring_dedup(docs, window=8).collect()
+    }
+
+    def m(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert (out[1]["n_tokens"], out[1]["n_kept"]) == (13, 5)
+    assert out[1]["kept_md5"] == m("one two three four five")
+    assert (out[2]["n_tokens"], out[2]["n_kept"]) == (11, 3)
+    assert out[2]["kept_md5"] == m("six seven eight")
+    # doc 3 untouched (its windows occur nowhere else)
+    assert out[3]["n_kept"] == 9 and out[3]["kept_md5"] == m(
+        "n1 n2 n3 n4 n5 n6 n7 n8 n9"
+    )
+    # docs 4/5: every token covered -> empty reassembly on BOTH
+    for d in (4, 5):
+        assert (out[d]["n_tokens"], out[d]["n_kept"]) == (8, 0)
+        assert out[d]["kept_md5"] == m("")
+
+
+def test_exact_substring_dedup_overlapping_alignment(spark):
+    """Overlapping windows catch duplication at ANY alignment: a 10-token
+    shared run yields 3 shared windows whose union covers all 10 tokens
+    in both docs, including the misaligned copy."""
+    run = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"  # 10 tokens
+    docs = spark.createDataFrame(
+        [(1, f"{run} tailA tailB"), (2, f"head {run}")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedupe.exact_substring_dedup(docs, window=8).collect()
+    }
+    assert (out[1]["n_tokens"], out[1]["n_kept"]) == (12, 2)
+    assert (out[2]["n_tokens"], out[2]["n_kept"]) == (11, 1)

@@ -55,6 +55,8 @@ QUERIES = [
     # late-round-3 corpus operators
     "segment_dedup",
     "vocab_topk",
+    # round 4
+    "exact_substring_dedup",
 ]
 
 STOPWORD_POOL = (
