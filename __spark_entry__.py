@@ -1366,7 +1366,7 @@ def q_fanout_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cl = spark.read.parquet(_ensure_cdc_fixture())
     frames = fanout_archive(cl)
-    frames.pop("_tagged")  # persisted parse shared by the 15 branches
+    tagged = frames.pop("_tagged")  # persisted parse shared by 15 branches
     parts = [
         df.select(
             F.lit(et).alias("entity_type"),
@@ -1382,13 +1382,18 @@ def q_fanout_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     un = parts[0]
     for p in parts[1:]:
         un = un.unionAll(p)
-    return un.groupBy("entity_type").agg(
+    out = un.groupBy("entity_type").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.coalesce(F.unix_micros("warc_ts"), F.lit(0))).alias("ts_sum"),
         F.md5(F.array_join(F.array_sort(F.collect_list("kv")), "|")).alias(
             "kv_hash"
         ),
     )
+    # materialize the 15-row aggregate eagerly so the shared parse can
+    # be unpersisted before returning (no cached-DF leak per invocation)
+    out = out.localCheckpoint(eager=True)
+    tagged.unpersist()
+    return out
 
 
 def q_array_struct_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2374,10 +2379,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_dedup": q_segment_dedup,
         "multimodal_decode": q_multimodal_decode,
         "ann_multiprobe_check": q_ann_multiprobe_check,
+        # ---------------- driver window boundary (50) ---------------
+        # r3-green, code-stable tail (pytest + local oracle sweep):
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
-        # ---------------- driver window boundary (~50) --------------
-        # r3-green, code-stable tail (pytest + local oracle sweep):
         "rolling_fingerprints": q_rolling_fingerprints,
         "set_union_event_types": q_set_union_event_types,
         "submitter_agg": q_submitter_agg,
@@ -3940,7 +3945,7 @@ def _fanout_mix_sql() -> str:
             "  SELECT url, warc_ts, "
             f"    unnest(regexp_extract_all(h, '{pat}', 1)) AS k, seq FROM ev"
             ") t QUALIFY row_number() OVER (PARTITION BY url"
-            "    ORDER BY warc_ts DESC, seq DESC) = 1"
+            "    ORDER BY warc_ts DESC, seq DESC, k DESC) = 1"
         )
     # 1 dedupByDate stream keyed by the entity's own id (href)
     link_pat = _sqlq(_FANOUT_PATTERNS["link"])

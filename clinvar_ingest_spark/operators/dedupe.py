@@ -630,11 +630,16 @@ def exact_substring_dedup(
     posexplode rolling windows fingerprinted with xxhash64 (8-byte
     shuffle keys); TWO-level hash agg for the distinct-doc count per
     fingerprint; left-semi back onto occurrences; explode k offsets per
-    duplicated occurrence → distinct (doc, pos) cover set; left-anti
-    from the token table; one final agg per doc for reassembly. No
-    all-pairs stage anywhere — the heaviest shuffle is ~tokens rows of
-    (hash, doc). A boilerplate span seen in millions of docs costs its
-    occurrence count, not its pair count.
+    duplicated occurrence → distinct (doc, pos) cover set; a marker
+    LEFT JOIN onto the token table and ONE per-doc agg producing total,
+    kept and reassembly together (every doc has ≥1 token row, so no
+    extra source branch for totals). No all-pairs stage anywhere — the
+    heaviest shuffle is ~tokens rows of (hash, doc); a boilerplate span
+    seen in millions of docs costs its occurrence count, not its pair
+    count. The source is traversed 3× per action (token explode +
+    window pass for the dup agg + window pass for the semi-join) — at
+    100 TB persist/checkpoint the tokenized input or feed a
+    materialized fingerprint table instead of recomputing.
 
     Returns (id, n_tokens, n_kept, kept_md5) — kept_md5 is the md5 of
     the space-joined surviving tokens ('' ⇒ md5 of the empty string),
@@ -672,27 +677,26 @@ def exact_substring_dedup(
             ).alias("pos"),
         )
         .distinct()
+        .withColumn("_cov", F.lit(True))
     )
-    kept = tok.join(covered, ["id", "pos"], "left_anti")
-    reassembled = kept.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
+    marked = tok.join(covered, ["id", "pos"], "left")
+    keep = F.col("_cov").isNull()
+    return marked.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count(F.when(keep, 1)).alias("n_kept"),
         F.md5(
             F.concat_ws(
                 " ",
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    # collect_list drops the NULLs the when() leaves on
+                    # covered tokens — only survivors are reassembled
+                    F.array_sort(
+                        F.collect_list(F.when(keep, F.struct("pos", "tok")))
+                    ),
                     lambda s: s["tok"],
                 ),
             )
         ).alias("kept_md5"),
-    )
-    return (
-        base.select("id", F.size("t").alias("n_tokens"))
-        .join(reassembled, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            "n_tokens",
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
-        )
+    ).select(
+        F.col("id").alias(id_col), "n_tokens", "n_kept", "kept_md5"
     )

@@ -238,23 +238,23 @@ def fanout(
 
 def dedup_by_date(tagged_stream: DataFrame, id_col: str) -> DataFrame:
     """Reference ``dedupByDate`` (ArchiveBranches.scala:140-156): one
-    row per entity id — the latest by (warc_ts, seq). NULL warc_ts
+    row per entity id — the latest by (warc_ts, seq, k). NULL warc_ts
     sorts lowest (the reference keeps an arbitrary element when no
-    version is dated; seq makes our pick deterministic).
+    version is dated; seq makes our pick deterministic). ``k`` is the
+    final tiebreak because one EVENT can emit several rows for the
+    same entity id (e.g. two <title> tags in one document share
+    (url, warc_ts, seq)) — without it the pick is nondeterministic.
 
-    Plan: a single window shuffle keyed on the entity id; partial
-    evaluation is unnecessary because rn=1 prunes at the first sort.
+    Delegates to :func:`~clinvar_ingest_spark.operators.lww.lww_latest`
+    (max_by on an order struct): ONE hash aggregation with a partial
+    (map-side) max_by, so the shuffle carries one candidate row per
+    (input partition, entity id) — same LWW code path as the engine.
     """
-    from pyspark.sql.window import Window
+    from clinvar_ingest_spark.operators.lww import lww_latest
 
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("warc_ts").desc_nulls_last(), F.col("seq").desc()
-    )
-    return (
-        tagged_stream.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    order = ["warc_ts", "seq"] + ([] if id_col == "k" else ["k"])
+    out = lww_latest(tagged_stream, keys=(id_col,), order_by=order)
+    return out.select(*tagged_stream.columns)  # original column order
 
 
 def aggregate_hosts(tagged_stream: DataFrame) -> DataFrame:

@@ -160,12 +160,16 @@ def lsh_bucket_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_hamming: int = 0,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score corpus rows in the query's SRP bucket.
 
     ``bits=None`` (default) sizes the sketch from the corpus count via
     :func:`auto_srp_bits`, keeping per-query candidate-scan cost
-    (n/2^bits) roughly constant as the corpus grows.
+    (n/2^bits) roughly constant as the corpus grows. The sizing count
+    is a full action over ``corpus`` — when the corpus is an expensive
+    uncached derivation, pass ``n_rows`` (exact or estimated, e.g. from
+    table metadata) to skip it, or cache the corpus first.
 
     ``probe_hamming`` > 0 enables **multi-probe**: each query also
     scans every bucket within that Hamming distance of its own sketch
@@ -178,7 +182,7 @@ def lsh_bucket_topk(
     size); the exact-cosine gate is unchanged.
     """
     if bits is None:
-        bits = auto_srp_bits(corpus.count())
+        bits = auto_srp_bits(n_rows if n_rows is not None else corpus.count())
     c = srp_sketch(corpus, dim, bits, seed, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "_bucket"
     )
@@ -220,17 +224,20 @@ def cosine_dup_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs: SRP-bucket self-join + exact cosine gate.
 
     ``bits=None`` (default) sizes the sketch from the corpus via
-    :func:`auto_srp_bits` — one O(1)-result count job — so the bucket
-    self-join stays linear in n at any corpus size instead of the
-    fixed-bits O(n²/2^bits). Pass explicit ``bits`` only with a
-    justified bits-vs-n argument (e.g. oracle parity at a pinned SF).
+    :func:`auto_srp_bits` so the bucket self-join stays linear in n at
+    any corpus size instead of the fixed-bits O(n²/2^bits). The sizing
+    count runs the upstream plan once — for an expensive uncached
+    ``df``, pass ``n_rows`` (exact or estimated) or cache first. Pass
+    explicit ``bits`` only with a justified bits-vs-n argument (e.g.
+    oracle parity at a pinned SF).
     """
     if bits is None:
-        bits = auto_srp_bits(df.count())
+        bits = auto_srp_bits(n_rows if n_rows is not None else df.count())
     s = srp_sketch(df, dim, bits, seed, vec_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "_bucket"
     )

@@ -62,6 +62,8 @@ def with_retries(
     see the real cause, not a wrapper.
     """
     policy = policy or RetryPolicy()
+    if policy.attempts < 1:
+        raise ValueError(f"RetryPolicy.attempts must be >= 1, got {policy.attempts}")
     rng = random.Random(policy.seed)
     last: BaseException | None = None
     for attempt in range(policy.attempts):

@@ -45,10 +45,35 @@ def main(argv: list[str] | None = None) -> int:
     new = eng.table.current_snapshot_id() if args.new == "current" else args.new
     if args.old == "previous":
         # date-absent branch (reference export-diff.yaml:34-41 →
-        # date-absent.yaml:26-121): with no preceding snapshot the
-        # whole release exports as change=created
+        # date-absent.yaml:26-121): a true first release exports the
+        # whole snapshot as change=created. That is the case when the
+        # head has no parent at all OR its parent is the table's empty
+        # GENESIS snapshot (deterministic id — checkable even after
+        # expire_snapshots removed the genesis manifest; a diff against
+        # the empty genesis IS the full-create). A REAL parent whose
+        # manifest was expired is NOT that case: exporting a full
+        # CREATE there would make an incremental consumer re-insert
+        # its entire dataset, so it stays a loud error.
+        from clinvar_ingest_spark.lakelet.manifest import snapshot_id_for
+
+        genesis = snapshot_id_for(None, "genesis", 1)
         parent = eng.table.manifest(new).parent_id
-        old = parent if (parent is not None and eng.table.has_snapshot(parent)) else None
+        if parent is None or parent == genesis:
+            old = None
+        elif not eng.table.has_snapshot(parent):
+            print(
+                json.dumps(
+                    {
+                        "error": "preceding snapshot expired",
+                        "parent_id": parent,
+                        "hint": "re-run with --old <snapshot> or "
+                        "--old none for an explicit full export",
+                    }
+                )
+            )
+            return 2
+        else:
+            old = parent
     elif args.old in ("none", "absent"):
         old = None
     else:

@@ -193,10 +193,10 @@ def test_dedup_by_date_null_ts_deterministic(spark):
 
 
 def test_fanout_treatment_plan_shapes(spark, changelog_df):
-    """Scale contract: host aggregation is ONE Exchange with partial
-    (map-side) max_by/collect_set/count before it; the dedupByDate
-    window gets a WindowGroupLimit BELOW its single Exchange (map-side
-    top-1 per key), so the shuffle is ∝ distinct ids, not events."""
+    """Scale contract: host aggregation AND dedupByDate are each ONE
+    Exchange with a partial (map-side) aggregate before it — the
+    shuffle carries one candidate row per (partition, id), never one
+    per event."""
     from clinvar_ingest_spark.operators.fanout import (
         aggregate_hosts,
         dedup_by_date,
@@ -219,7 +219,7 @@ def test_fanout_treatment_plan_shapes(spark, changelog_df):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert link_plan.count("Exchange") == 1
-    assert link_plan.count("WindowGroupLimit") == 2  # map-side + final
+    assert "partial_max_by" in link_plan  # lww_latest delegation
 
 
 def test_write_fanout_lakelet_versioned_tables(spark, changelog_df, tmp_path):

@@ -164,3 +164,50 @@ def test_export_diff_job_date_absent_branch(spark, tmp_path, changelog_df, monke
     msg = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert msg["counts"]["created"] == prod.live().count()
     assert msg["counts"]["deleted"] == 0 and msg["counts"]["updated"] == 0
+
+
+def test_export_diff_job_expired_real_parent_errors(
+    spark, tmp_path, changelog_df, monkeypatch, capsys
+):
+    """--old previous when the head's REAL parent was expired must stay
+    a loud exit-2 error (silently exporting a full CREATE would make an
+    incremental consumer re-insert its whole dataset) — while an
+    expired GENESIS parent still takes the full-create branch (a diff
+    against the empty genesis IS the full export)."""
+    import json as _json
+
+    from clinvar_ingest_spark.lakelet.maintenance import expire_snapshots
+    from jobs import export_diff as job
+
+    prod = CdcEngine(spark, str(tmp_path / "prod"), n_buckets=8)
+    prod.replay(changelog_df, batch_size=400)  # two aligned batches
+    assert len(prod.table.history()) >= 3  # genesis + 2 real snapshots
+    expire_snapshots(prod.table, keep_last=1)  # drops the REAL parent
+
+    monkeypatch.setattr(
+        "clinvar_ingest_spark.session.get_spark", lambda **kw: spark
+    )
+    rc = job.main([
+        "--table", str(tmp_path / "prod"),
+        "--old", "previous",
+        "--out", str(tmp_path / "out"),
+    ])
+    assert rc == 2
+    err = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert err["error"] == "preceding snapshot expired"
+    assert err["parent_id"]
+
+    # genesis-parent head (first real snapshot), genesis expired → the
+    # date-absent full-create branch, not an error
+    prod2 = CdcEngine(spark, str(tmp_path / "prod2"), n_buckets=8)
+    prod2.replay(changelog_df, batch_size=10_000_000)
+    expire_snapshots(prod2.table, keep_last=1)
+    rc2 = job.main([
+        "--table", str(tmp_path / "prod2"),
+        "--old", "previous",
+        "--out", str(tmp_path / "out2"),
+    ])
+    assert rc2 == 0
+    msg = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert msg["counts"]["created"] == prod2.live().count()
+    assert msg["counts"]["updated"] == 0 and msg["counts"]["deleted"] == 0
