@@ -638,6 +638,185 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated MIN subquery — for each mid-size part,
+    the supplier(s) quoting the minimum unit price among EUROPE
+    suppliers (adapted: no partsupp table in this corpus, so lineitem
+    is the part↔supplier price bridge; ties keep every attaining
+    supplier, deterministic both engines)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    price = _cents(F.col("l_extendedprice"))
+    offers = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("p_partkey", "s_suppkey", "s_name", price.alias("price_cents"))
+    )
+    minp = offers.groupBy("p_partkey").agg(
+        F.min("price_cents").alias("min_price_cents")
+    )
+    return (
+        offers.join(minp, "p_partkey")
+        .filter(F.col("price_cents") == F.col("min_price_cents"))
+        .select("p_partkey", "s_suppkey", "s_name", "min_price_cents")
+        .distinct()
+    )
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-profit rollup by (supplier nation, order
+    year) over a 5-way join — profit proxy = revenue − tax (adapted: no
+    ps_supplycost in this corpus), integer e4 units."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    profit = _cents(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("l_extendedprice") * F.col("l_tax"),
+        10000,
+    )
+    j = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return j.groupBy(
+        F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+    ).agg(F.sum(profit).alias("profit_e4"))
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: group value vs a scalar fraction of the total —
+    parts whose revenue exceeds 1.5× the mean part revenue (Q11 scales
+    its fraction by SF; tying it to the group count keeps the query
+    non-vacuous at every SF of this corpus). Integer
+    cross-multiplication keeps the share comparison exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
+    per_part = li.groupBy("l_partkey").agg(F.sum(rev).alias("value_e4"))
+    total = per_part.agg(
+        F.sum("value_e4").alias("_total_e4"),
+        F.count(F.lit(1)).alias("_n_parts"),
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(
+            F.col("value_e4") * F.col("_n_parts") * 2 > 3 * F.col("_total_e4")
+        )
+        .select("l_partkey", "value_e4")
+    )
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier count per part attribute
+    group, with an excluded-supplier anti-filter (adapted: lineitem is
+    the part↔supplier bridge and the 'complaints' exclusion becomes
+    negative account balance)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") != "PROMO")
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    j = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+    )
+    return j.groupBy("p_brand", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: per-part average-quantity correlated subquery —
+    revenue of small-quantity orders (qty < 20% of the part's average).
+    Integer quantity cents + cross-multiplication (5·q < avg as
+    5·q_c·n < sum_c) keep the threshold exact cross-engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    qc = _cents(F.col("l_quantity"))
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).select(
+        "l_partkey",
+        qc.alias("q_cents"),
+        _cents(F.col("l_extendedprice")).alias("price_cents"),
+    )
+    avgs = j.groupBy("l_partkey").agg(
+        F.sum("q_cents").alias("_sum_qc"), F.count(F.lit(1)).alias("_n")
+    )
+    small = j.join(avgs, "l_partkey").filter(
+        F.col("q_cents") * 5 * F.col("_n") < F.col("_sum_qc")
+    )
+    return small.agg(
+        F.sum("price_cents").alias("small_qty_revenue_cents"),
+        F.count(F.lit(1)).alias("n_small_lines"),
+    )
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive brackets as the join
+    predicate (OR of brand/size/quantity bands) — the classic
+    pushdown-hostile predicate the optimizer must evaluate post-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 10))
+            & (F.col("l_quantity").between(1, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size").between(1, 20))
+            & (F.col("l_quantity").between(10, 30))
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(1, 30))
+            & (F.col("l_quantity").between(20, 40))
+        )
+    )
+    return j.filter(band).agg(
+        F.sum(rev).alias("revenue_e4"), F.count(F.lit(1)).alias("n_lines")
+    )
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested semi-join chain — suppliers qualified by
+    an aggregate-HAVING inner query (shipped more than 100 units of
+    PROMO parts in 1996; adapted: lineitem stands in for partsupp
+    availability), then named via the supplier dim."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    promo = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    heavy = (
+        li.join(F.broadcast(promo), li["l_partkey"] == promo["p_partkey"])
+        .groupBy("l_suppkey")
+        .agg(F.sum(_cents(F.col("l_quantity"))).alias("qty_cents"))
+        .filter(F.col("qty_cents") > 100 * 100)
+        .select("l_suppkey")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        supp.join(heavy, supp["s_suppkey"] == heavy["l_suppkey"], "left_semi")
+        .select("s_suppkey", "s_name", "s_nationkey")
+    )
+
+
 def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test corpus split (80/10/10 on the
     cross-engine md5-48 of the doc id — partition-invariant, stable
@@ -2403,6 +2582,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15": q_tpch_q15,
         "tpch_q21": q_tpch_q21,
         "tpch_q22": q_tpch_q22,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q20": q_tpch_q20,
         "corpus_split": q_corpus_split,
         "order_revenue": q_order_revenue,
         "revenue_by_nation": q_revenue_by_nation,
@@ -2699,6 +2885,106 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderpriority = '1-URGENT')
             GROUP BY c_nationkey
+        """,
+        "tpch_q2": """
+            WITH offers AS (
+              SELECT DISTINCT p_partkey, s_suppkey, s_name,
+                     CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                       AS price_cents
+              FROM lineitem
+              JOIN part     ON l_partkey = p_partkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation   ON s_nationkey = n_nationkey
+              JOIN region   ON n_regionkey = r_regionkey
+              WHERE p_size <= 15 AND p_type = 'STANDARD'
+                AND r_name = 'EUROPE'
+            )
+            SELECT DISTINCT o.p_partkey, o.s_suppkey, o.s_name,
+                   m.min_price_cents
+            FROM offers o
+            JOIN (SELECT p_partkey, min(price_cents) AS min_price_cents
+                  FROM offers GROUP BY p_partkey) m
+              ON o.p_partkey = m.p_partkey
+             AND o.price_cents = m.min_price_cents
+        """,
+        "tpch_q9": """
+            SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                   CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)
+                                        - l_extendedprice * l_tax) * 10000, 0)
+                                 AS BIGINT)) AS BIGINT) AS profit_e4
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE p_type = 'STANDARD'
+            GROUP BY n_name, year(o_orderdate)
+        """,
+        "tpch_q11": """
+            WITH per_part AS (
+              SELECT l_partkey,
+                     CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                         * 10000, 0) AS BIGINT)) AS BIGINT)
+                       AS value_e4
+              FROM lineitem GROUP BY l_partkey
+            )
+            SELECT l_partkey, value_e4 FROM per_part
+            WHERE value_e4 * (SELECT count(*) FROM per_part) * 2
+                  > 3 * (SELECT sum(value_e4) FROM per_part)
+        """,
+        "tpch_q16": """
+            SELECT p_brand, p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_type <> 'PROMO'
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_size
+        """,
+        "tpch_q17": """
+            WITH j AS (
+              SELECT l_partkey,
+                     CAST(round(l_quantity * 100, 0) AS BIGINT) AS q_cents,
+                     CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                       AS price_cents
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_brand = 'Brand#1'
+            ),
+            avgs AS (
+              SELECT l_partkey, sum(q_cents) AS _sum_qc, count(*) AS _n
+              FROM j GROUP BY l_partkey
+            )
+            SELECT CAST(sum(price_cents) AS BIGINT)
+                     AS small_qty_revenue_cents,
+                   CAST(count(*) AS BIGINT) AS n_small_lines
+            FROM j JOIN avgs USING (l_partkey)
+            WHERE q_cents * 5 * _n < _sum_qc
+        """,
+        "tpch_q19": """
+            SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                       * 10000, 0) AS BIGINT)) AS BIGINT)
+                     AS revenue_e4,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+                   AND l_quantity BETWEEN 10 AND 30)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+                   AND l_quantity BETWEEN 20 AND 40)
+        """,
+        "tpch_q20": """
+            SELECT s_suppkey, s_name, s_nationkey
+            FROM supplier
+            WHERE s_suppkey IN (
+              SELECT l_suppkey FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              WHERE p_type = 'PROMO'
+                AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+              GROUP BY l_suppkey
+              HAVING sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) > 10000)
         """,
         "tpch_q5": """
             SELECT n_name,

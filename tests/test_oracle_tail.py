@@ -30,6 +30,13 @@ TAIL_QUERIES = [
     "tpch_q15",
     "tpch_q21",
     "tpch_q22",
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q20",
 ]
 
 
