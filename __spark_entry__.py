@@ -720,13 +720,15 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: distinct-supplier count per part attribute
     group, with an excluded-supplier anti-filter (adapted: lineitem is
-    the part↔supplier bridge and the 'complaints' exclusion becomes
-    negative account balance)."""
+    the part↔supplier bridge and the 'complaints' exclusion becomes a
+    low account balance — < 2000 is non-vacuous at every SF, so the
+    NOT-IN/left-anti NULL-semantics path stays continuously
+    exercised)."""
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     part = _t(spark, sf_dir, "part").filter(F.col("p_type") != "PROMO")
     bad = (
         _t(spark, sf_dir, "supplier")
-        .filter(F.col("s_acctbal") < 0)
+        .filter(F.col("s_acctbal") < 2000)
         .select("s_suppkey")
     )
     j = (
@@ -2939,7 +2941,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN part ON l_partkey = p_partkey
             WHERE p_type <> 'PROMO'
               AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
-                                    WHERE s_acctbal < 0)
+                                    WHERE s_acctbal < 2000)
             GROUP BY p_brand, p_size
         """,
         "tpch_q17": """

@@ -47,20 +47,32 @@ PASSTHROUGH_TYPES = tuple(
 
 def run_fanout_feed(
     spark,
-    seg_dir: str,
+    seg_dir: str | None,
     checkpoint_dir: str,
     out_dir: str,
     entity_types: tuple[str, ...] = PASSTHROUGH_TYPES,
     max_files_per_trigger: int = 8,
     timeout_secs: float = 600.0,
+    source=None,
 ) -> None:
     """Drain the changelog segment dir through the fan-out parse,
     appending each entity stream under ``out_dir/<entity>/`` (one
     ``batch=<epoch>`` partition per micro-batch, idempotent rewrite).
 
+    ``source``: any ``bus.ChangelogSource`` — defaults to the file
+    analogue over ``seg_dir``; pass ``bus.KafkaChangelogSource(...)``
+    on a cluster with the Kafka package (same seam as
+    ``streaming/tail.tail_changelog``).
+
     Read an entity's accumulated stream back with
     ``spark.read.parquet(os.path.join(out_dir, entity))`` — the
     ``batch=N`` layer is a plain partition column.
+
+    The epoch-keyed overwrite is idempotent only WITHIN one checkpoint
+    lineage — epoch numbering restarts at 0 under a fresh checkpoint,
+    so pointing a new lineage at a populated ``out_dir`` would mix
+    stale and new partitions silently. That combination is refused;
+    delete (or re-point) ``out_dir`` when resetting the checkpoint.
     """
     bad = [et for et in entity_types if et not in PASSTHROUGH_TYPES]
     if bad:
@@ -68,13 +80,24 @@ def run_fanout_feed(
             f"{bad} are not passthrough streams — dedup'd/aggregated "
             "entities need a stateful consumer (see module docstring)"
         )
-    from clinvar_ingest_spark.streaming.tail import CHANGELOG_SCHEMA
-
-    stream = (
-        spark.readStream.schema(CHANGELOG_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(seg_dir)
+    fresh_lineage = not os.path.exists(
+        os.path.join(checkpoint_dir, "offsets")
     )
+    populated = any(
+        os.path.isdir(os.path.join(out_dir, et)) for et in entity_types
+    )
+    if fresh_lineage and populated:
+        raise ValueError(
+            f"out_dir {out_dir!r} already holds entity batches but "
+            f"checkpoint {checkpoint_dir!r} is fresh — epoch numbering "
+            "would restart at 0 and mix stale with new partitions; "
+            "remove the out_dir (or reuse the original checkpoint)"
+        )
+    if source is None:
+        from clinvar_ingest_spark.bus import FileChangelogSource
+
+        source = FileChangelogSource(seg_dir, max_files_per_trigger)
+    stream = source.stream(spark)
 
     def fan_batch(batch: DataFrame, epoch_id: int) -> None:
         tagged = parse_entities(

@@ -51,10 +51,16 @@ def test_feed_equals_batch_parse(spark, seg_dir, tmp_path):
             want = want_tagged.filter(F.col("entity_type") == et)
             got = spark.read.parquet(os.path.join(out, et))
             assert got.count() == want.count(), et
-            # content equality on the (url, seq, k) multiset
+            # content equality on the FULL row multiset (k is NULL for
+            # script/style, so n and warc_ts must be in the key too)
             key = F.concat_ws(
-                "\x1f", "url", F.col("seq").cast("string"),
+                "\x1f",
+                "url",
+                F.col("seq").cast("string"),
                 F.coalesce("k", F.lit("")),
+                F.coalesce("v", F.lit("")),
+                F.col("n").cast("string"),
+                F.col("warc_ts").cast("string"),
             )
             diff = (
                 got.select(key.alias("x"))
@@ -90,3 +96,17 @@ def test_feed_rejects_treated_streams(spark, seg_dir, tmp_path):
             spark, seg_dir, str(tmp_path / "c"), str(tmp_path / "o"),
             entity_types=("page",),
         )
+
+
+def test_feed_rejects_fresh_checkpoint_over_populated_out(
+    spark, seg_dir, tmp_path
+):
+    """A NEW checkpoint lineage restarts epoch numbering at 0 — pointing
+    it at an out_dir populated by an earlier lineage would silently mix
+    stale and new batch partitions, so the feed refuses to start."""
+    out = str(tmp_path / "out")
+    run_fanout_feed(
+        spark, seg_dir, str(tmp_path / "ckpt1"), out, max_files_per_trigger=1
+    )
+    with pytest.raises(ValueError, match="checkpoint .* is fresh"):
+        run_fanout_feed(spark, seg_dir, str(tmp_path / "ckpt2"), out)
