@@ -216,9 +216,34 @@ def _merge_bucket_arrow_fn(
             in_batch, col("b__bucket"), col("c__bucket")
         ).cast(pa.int64())
         cols_out["_action"] = pa.array(action, type=pa.string())
-        return pa.table(cols_out)
+        return _normalize_ts_tz(pa.table(cols_out))
 
     return merge_bucket
+
+
+def _normalize_ts_tz(tbl: pa.Table) -> pa.Table:
+    """Force tz-aware timestamp columns to the literal zone id "UTC".
+
+    PySpark's applyInArrow result verifier compares against
+    ``to_arrow_type(TimestampType) == timestamp[us, tz=UTC]`` — the
+    string "UTC", hardcoded — while the INPUT batches Spark hands this
+    UDF carry the session timezone id verbatim (``Etc/UTC`` on a stock
+    JVM with no ``spark.sql.session.timeZone`` pin, or any user zone).
+    Echoing input columns therefore fails the verify under every
+    session config except a literal-"UTC" pin (found by
+    tests/test_default_session.py — 13 replay queries red under a
+    default session). The cast is between two tz-aware types, so it is
+    instant-preserving metadata-only: no values move.
+    """
+    fields = []
+    changed = False
+    for f in tbl.schema:
+        if pa.types.is_timestamp(f.type) and f.type.tz is not None and f.type.tz != "UTC":
+            fields.append(pa.field(f.name, pa.timestamp(f.type.unit, "UTC")))
+            changed = True
+        else:
+            fields.append(f)
+    return tbl.cast(pa.schema(fields)) if changed else tbl
 
 
 def _merge_bucket_fn(

@@ -150,13 +150,16 @@ def sessionize(
     order = [F.col(ts)] + [F.col(c) for c in tie_cols]
     w = Window.partitionBy(*keys).orderBy(*order)
     prev = F.lag(F.col(ts)).over(w)
-    # Compare at microsecond precision (exact integers) so the gap test
-    # is bit-identical in any engine — second-truncated casts would
-    # disagree with an oracle on sub-second boundaries.
-    gap_us = F.lit(int(gap_seconds) * 1_000_000)
-    is_new = (
-        prev.isNull() | (F.unix_micros(F.col(ts)) - F.unix_micros(prev) > gap_us)
-    ).cast("long")
+    # Compare as a day-time INTERVAL, exact to the microsecond and —
+    # unlike unix_micros, which is TIMESTAMP-only and raises on
+    # TIMESTAMP_NTZ — valid for BOTH timestamp dtypes. A default-config
+    # Spark 4 session (parquet inferTimestampNTZ on) reads tz-naive
+    # parquet as TIMESTAMP_NTZ, so the gap test must be dtype-robust;
+    # interval subtraction is also timezone-free (pure wall-clock for
+    # NTZ, pure instant for TIMESTAMP), so no DST edge can disagree
+    # with a naive-arithmetic oracle.
+    gap_iv = F.expr(f"INTERVAL {int(gap_seconds)} SECONDS")
+    is_new = (prev.isNull() | ((F.col(ts) - prev) > gap_iv)).cast("long")
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn("session_n", F.sum(is_new).over(wsum))
 
