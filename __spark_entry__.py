@@ -1523,14 +1523,41 @@ def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document exact-substring dedup (Lee et al. 2022
     ExactSubstr): 8-token spans shared by ≥2 docs are cut from every
     carrier, documents reassembled from surviving tokens. Spark joins
-    on xxhash64 window fingerprints (the 8-byte-shuffle-key scale
-    path); the oracle compares window CONTENT — results agree unless
-    xxhash64 collides (deterministic data, ~1e-10, same caveat as
-    rolling_fingerprints)."""
+    on 128-bit window fingerprints (two independent xxhash64 streams —
+    birthday-safe at the 2^40+-window design scale, where a single
+    64-bit key would silently delete unique text on collision); the
+    oracle compares window CONTENT, so it verifies the hashed plan
+    exactly."""
     from clinvar_ingest_spark.operators.dedupe import exact_substring_dedup
 
     return exact_substring_dedup(
         _t(spark, sf_dir, "documents"), window=8, min_docs=2
+    )
+
+
+def q_exact_substring_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr over a PERSISTED fingerprint table (the 100 TB
+    path): substr_fingerprints is written to parquet once, then the
+    dedup consumes it and reads the SOURCE exactly once (vs 3
+    traversals for the recompute path). Same oracle as
+    exact_substring_dedup — the persisted path must be semantically
+    invisible."""
+    import tempfile
+
+    from clinvar_ingest_spark.operators.dedupe import (
+        exact_substring_dedup_from_fingerprints,
+        substr_fingerprints,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    fp_dir = os.path.join(
+        tempfile.gettempdir(), f"substr_fps_{abs(hash(sf_dir)) % 10**8}"
+    )
+    if not os.path.exists(os.path.join(fp_dir, "_SUCCESS")):
+        substr_fingerprints(docs, window=8).write.mode("overwrite").parquet(fp_dir)
+    fps = spark.read.parquet(fp_dir)
+    return exact_substring_dedup_from_fingerprints(
+        docs, fps, window=8, min_docs=2
     )
 
 
@@ -1563,9 +1590,15 @@ def q_fanout_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     un = parts[0]
     for p in parts[1:]:
         un = un.unionAll(p)
+    # epoch_micros, not bare unix_micros: the fixture is engine-written
+    # LTZ today, but a default-config session must never be able to
+    # turn this query into an AnalysisException if the fixture dtype
+    # shifts (same hardening as operators/temporal.py sessionize).
+    from clinvar_ingest_spark.functions.timeutil import epoch_micros
+
     out = un.groupBy("entity_type").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.coalesce(F.unix_micros("warc_ts"), F.lit(0))).alias("ts_sum"),
+        F.sum(F.coalesce(epoch_micros(un, "warc_ts"), F.lit(0))).alias("ts_sum"),
         F.md5(F.array_join(F.array_sort(F.collect_list("kv")), "|")).alias(
             "kv_hash"
         ),
@@ -2497,20 +2530,80 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver oracle-checks only the FIRST 50
-    # entries per round (CORRECTNESS_r03 covered exactly positions
-    # 1-50 of the r3 dict). Rotation policy: entries that have never
-    # had (or lost) a driver oracle row come FIRST — in r4 that is
-    # the engine-replay / streaming / temporal family that sat at
-    # positions 51-79 in r3 — followed by queries whose code or
-    # oracle changed this round, then engine-critical re-attests.
-    # The r3-green, code-stable analytics/text/tpch queries rotate to
-    # the tail (each still has a pytest and the full 80+-query sweep
-    # in tools/check_oracle.py runs locally every round).
+    # entries per round. Round-5 rotation (VERDICT r4 item 3): the 13
+    # TPC-H tail shapes that have NEVER had a driver row come first,
+    # then sessionize_events (the r4 red row, fixed — dtype-robust
+    # interval gap test), then entries whose code changed this round
+    # (128-bit ExactSubstr + the NEW persisted-fingerprint path, the
+    # epoch_micros hardening in fanout_mix, the applyInArrow tz
+    # normalization re-attested via the flagship replay), then the
+    # least-recently-attested r1-r3 greens. With this window, every
+    # one of the 96 queries has had a driver CORRECTNESS row in some
+    # round. The rotated-out r4-green replay/streaming family keeps
+    # its operator pytests AND the new tests/test_default_session.py
+    # gate, which runs ALL queries against the oracle under a
+    # default-config session every round.
     return {
-        # -- never driver-checked before r4 (r3 positions 51-79) ----
+        # -- never driver-checked (r1-r4): TPC-H tail ----------------
+        "tpch_q2": q_tpch_q2,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
+        # -- the r4 red row, fixed this round ------------------------
+        "sessionize_events": q_sessionize_events,
+        # -- code changed in r5 --------------------------------------
+        "exact_substring_dedup": q_exact_substring_dedup,
+        "exact_substring_persisted": q_exact_substring_persisted,
+        "fanout_mix": q_fanout_mix,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
+        "cdc_replay_pages": q_cdc_replay_pages,
+        # -- least-recently-attested (last driver row r3 or earlier) --
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q18": q_tpch_q18,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_topk": q_ann_topk,
+        "rolling_fingerprints": q_rolling_fingerprints,
+        "set_union_event_types": q_set_union_event_types,
+        "submitter_agg": q_submitter_agg,
+        "latest_preceding_ts": q_latest_preceding_ts,
+        "events_hourly": q_events_hourly,
+        "corpus_split": q_corpus_split,
+        "order_revenue": q_order_revenue,
+        "revenue_by_nation": q_revenue_by_nation,
+        "vocab_topk": q_vocab_topk,
+        "text_quality": q_text_quality,
+        "fingerprint_docs": q_fingerprint_docs,
+        "lang_id": q_lang_id,
+        "token_stats": q_token_stats,
+        "repetition_stats": q_repetition_stats,
+        "decontam_overlap": q_decontam_overlap,
+        "pii_scrub": q_pii_scrub,
+        "quality_gate": q_quality_gate,
+        "multimodal_meta": q_multimodal_meta,
+        "corpus_sample_stratified": q_corpus_sample_stratified,
+        # ---------------- driver window boundary (50) ---------------
+        # r4-driver-green tail (operator pytests + the all-96-query
+        # default-session oracle gate run locally every round):
+        "dedup_exact": q_dedup_exact,
         "fanout_entities": q_fanout_entities,
         "link_targets": q_link_targets,
-        "cdc_replay_pages": q_cdc_replay_pages,
         "cdc_patch_replay": q_cdc_patch_replay,
         "mor_replay": q_mor_replay,
         "wap_publish_replay": q_wap_publish_replay,
@@ -2520,7 +2613,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_window_rollup": q_stream_window_rollup,
         "sorted_rewrite_replay": q_sorted_rewrite_replay,
         "asof_enrich": q_asof_enrich,
-        "sessionize_events": q_sessionize_events,
         "kmv_distinct_users": q_kmv_distinct_users,
         "ivm_lang_rollup": q_ivm_lang_rollup,
         "nation_pagerank": q_nation_pagerank,
@@ -2537,13 +2629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quarantine_routing": q_quarantine_routing,
         "corpus_quantiles": q_corpus_quantiles,
         "dataset_mixture": q_dataset_mixture,
-        # -- changed in r4 (new code or new oracle) ------------------
         "export_full_create": q_export_full_create,
         "patch_lww_users": q_patch_lww_users,
-        "embedding_dup_pairs": q_embedding_dup_pairs,
-        "fanout_mix": q_fanout_mix,
-        "exact_substring_dedup": q_exact_substring_dedup,
-        # -- engine-critical re-attests ------------------------------
         "schema_evolution_replay": q_schema_evolution_replay,
         "spec_grow_replay": q_spec_grow_replay,
         "cdc_lww_state": q_cdc_lww_state,
@@ -2560,53 +2647,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_dedup": q_segment_dedup,
         "multimodal_decode": q_multimodal_decode,
         "ann_multiprobe_check": q_ann_multiprobe_check,
-        # ---------------- driver window boundary (50) ---------------
-        # r3-green, code-stable tail (pytest + local oracle sweep):
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "rolling_fingerprints": q_rolling_fingerprints,
-        "set_union_event_types": q_set_union_event_types,
-        "submitter_agg": q_submitter_agg,
-        "latest_preceding_ts": q_latest_preceding_ts,
-        "events_hourly": q_events_hourly,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q18": q_tpch_q18,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q21": q_tpch_q21,
-        "tpch_q22": q_tpch_q22,
-        "tpch_q2": q_tpch_q2,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q19": q_tpch_q19,
-        "tpch_q20": q_tpch_q20,
-        "corpus_split": q_corpus_split,
-        "order_revenue": q_order_revenue,
-        "revenue_by_nation": q_revenue_by_nation,
-        "dedup_exact": q_dedup_exact,
-        "vocab_topk": q_vocab_topk,
-        "text_quality": q_text_quality,
-        "fingerprint_docs": q_fingerprint_docs,
-        "lang_id": q_lang_id,
-        "token_stats": q_token_stats,
-        "repetition_stats": q_repetition_stats,
-        "decontam_overlap": q_decontam_overlap,
-        "pii_scrub": q_pii_scrub,
-        "quality_gate": q_quality_gate,
-        "ann_topk": q_ann_topk,
-        "multimodal_meta": q_multimodal_meta,
-        "corpus_sample_stratified": q_corpus_sample_stratified,
     }
 
 
@@ -3374,9 +3414,10 @@ def oracle_sql() -> dict[str, str]:
         "fanout_entities": _fanout_entities_sql(),
         "fanout_mix": _fanout_mix_sql(),
         "exact_substring_dedup": r"""
-            -- content-keyed mirror of the xxhash64-fingerprint Spark
-            -- plan (same caveat as rolling_fingerprints: agree unless
-            -- a 64-bit hash collision, ~1e-10 on deterministic data)
+            -- content-keyed mirror of the fingerprint Spark plan
+            -- (128-bit keys since round 5 — two independent xxhash64
+            -- streams — so the content/hash agreement caveat is
+            -- negligible even at 2^40+ windows)
             WITH tk AS (
               SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
               FROM documents
@@ -4009,6 +4050,9 @@ def oracle_sql() -> dict[str, str]:
         f"  SELECT DISTINCT url FROM read_parquet('{_ensure_cdc_fixture()}')"
         "   ORDER BY url LIMIT 10)",
     )
+    # the persisted-fingerprint path must be semantically invisible:
+    # byte-identical oracle to the recompute path
+    out["exact_substring_persisted"] = out["exact_substring_dedup"]
     return out
 
 

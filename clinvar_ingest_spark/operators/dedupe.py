@@ -608,6 +608,68 @@ def segment_dedup(
 # ------------------------------------------------- exact-substring dedup
 
 
+def substr_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """Materializable window-fingerprint table for ExactSubstr dedup:
+    one row per overlapping ``window``-token span, columns
+    ``(id, start, h1, h2)``.
+
+    **128-bit fingerprints.** ``h1``/``h2`` are two independent
+    xxhash64 values over the span content (the second salted with a
+    literal domain tag, so the pair is a 128-bit key). A single 64-bit
+    hash is fine at test scale (~1e-10 collision odds) but NOT at the
+    module's 100 TB design point: ≥2^40 windows put birthday collisions
+    in expectation, and a collision here silently deletes unique text
+    from every doc carrying the colliding span. At 128 bits the
+    birthday bound at 2^44 windows is ~2^-41 — negligible. Join/groupBy
+    keys stay narrow (16 B/row vs 8).
+
+    **Persist this.** ``exact_substring_dedup`` recomputes windows 2×
+    and tokens 1× per action (3 source traversals); at scale, write
+    this table once (parquet, partitioned however the corpus is) and
+    feed it to :func:`exact_substring_dedup_from_fingerprints`, which
+    reads the SOURCE exactly once (asserted in
+    tests/test_dedupe.py::test_from_fingerprints_single_source_scan).
+    """
+    from clinvar_ingest_spark.functions.text import tokens
+
+    base = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t"))
+    return _win_fingerprints(base, window)
+
+
+def _win_fingerprints(base: DataFrame, window: int) -> DataFrame:
+    """(id, t:array<string>) → (id, start, h1, h2) overlapping windows.
+
+    Hashes are computed INSIDE a transform over the offset sequence so
+    the per-row intermediate is array<struct<long,long>> — the token
+    array is never duplicated per window and span strings never
+    materialize as a column (same memory shape as the round-4 single-
+    hash plan; the only delta is one extra xxhash64 per span)."""
+    def _span(i):
+        return F.concat_ws(" ", F.slice("t", i + 1, window))
+
+    win_structs = F.when(
+        F.size("t") < window,
+        F.array().cast("array<struct<h1:bigint,h2:bigint>>"),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - window),
+            lambda i: F.struct(
+                F.xxhash64(_span(i)).alias("h1"),
+                # literal domain tag ⇒ independent second 64-bit stream
+                F.xxhash64(F.lit("substr_fp2"), _span(i)).alias("h2"),
+            ),
+        )
+    )
+    return base.select(
+        "id", F.posexplode(win_structs).alias("start", "_hs")
+    ).select("id", "start", F.col("_hs.h1").alias("h1"), F.col("_hs.h2").alias("h2"))
+
+
 def exact_substring_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -627,7 +689,9 @@ def exact_substring_dedup(
     suffix array).
 
     Plan (all linear in corpus tokens, k = ``window`` a constant):
-    posexplode rolling windows fingerprinted with xxhash64 (8-byte
+    posexplode rolling windows fingerprinted with a 128-bit key — two
+    independent xxhash64 streams, see :func:`substr_fingerprints` for
+    why 64 bits is NOT enough at the 100 TB design point (16-byte
     shuffle keys); TWO-level hash agg for the distinct-doc count per
     fingerprint; left-semi back onto occurrences; explode k offsets per
     duplicated occurrence → distinct (doc, pos) cover set; a marker
@@ -638,8 +702,9 @@ def exact_substring_dedup(
     seen in millions of docs costs its occurrence count, not its pair
     count. The source is traversed 3× per action (token explode +
     window pass for the dup agg + window pass for the semi-join) — at
-    100 TB persist/checkpoint the tokenized input or feed a
-    materialized fingerprint table instead of recomputing.
+    100 TB write :func:`substr_fingerprints` once and run
+    :func:`exact_substring_dedup_from_fingerprints`, which reads the
+    source exactly once.
 
     Returns (id, n_tokens, n_kept, kept_md5) — kept_md5 is the md5 of
     the space-joined surviving tokens ('' ⇒ md5 of the empty string),
@@ -650,26 +715,53 @@ def exact_substring_dedup(
     base = df.select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t")
     )
-    tok = base.select(
-        "id", F.posexplode("t").alias("pos", "tok")
+    tok = base.select("id", F.posexplode("t").alias("pos", "tok"))
+    wins = _win_fingerprints(base, window)
+    return _cut_covered(tok, wins, window, min_docs, id_col)
+
+
+def exact_substring_dedup_from_fingerprints(
+    df: DataFrame,
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """ExactSubstr dedup over a PERSISTED fingerprint table.
+
+    ``fps`` is the output of :func:`substr_fingerprints` (same
+    ``window``), typically written to parquet once per corpus release.
+    Unlike :func:`exact_substring_dedup` — which re-derives windows
+    from the text twice per action, i.e. 3 source traversals — this
+    path reads the SOURCE exactly once (the token explode for
+    reassembly); the duplicate-span agg and the cover semi-join both
+    run off ``fps``. At 100 TB that turns ~300 TB of repeated HTML/text
+    scan into one scan plus two passes over a 24-B/row fingerprint
+    table. Output and semantics identical to
+    :func:`exact_substring_dedup` (same 128-bit keys).
+    """
+    from clinvar_ingest_spark.functions.text import tokens
+
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t")
     )
-    win_hashes = F.when(
-        F.size("t") < window, F.array().cast("array<long>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size("t") - window),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice("t", i + 1, window))),
-        )
-    )
-    wins = base.select("id", F.posexplode(win_hashes).alias("start", "h"))
+    tok = base.select("id", F.posexplode("t").alias("pos", "tok"))
+    return _cut_covered(tok, fps, window, min_docs, id_col)
+
+
+def _cut_covered(
+    tok: DataFrame, wins: DataFrame, window: int, min_docs: int, id_col: str
+) -> DataFrame:
+    """Shared ExactSubstr tail: dup-span agg → cover set → cut+reassemble."""
     dup = (
-        wins.groupBy("h")
+        wins.groupBy("h1", "h2")
         .agg(F.countDistinct("id").alias("nd"))
         .filter(F.col("nd") >= min_docs)
-        .select("h")
+        .select("h1", "h2")
     )
     covered = (
-        wins.join(dup, "h", "left_semi")
+        wins.join(dup, ["h1", "h2"], "left_semi")
         .select(
             "id",
             F.explode(

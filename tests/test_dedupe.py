@@ -299,3 +299,78 @@ def test_exact_substring_dedup_overlapping_alignment(spark):
     }
     assert (out[1]["n_tokens"], out[1]["n_kept"]) == (12, 2)
     assert (out[2]["n_tokens"], out[2]["n_kept"]) == (11, 1)
+
+
+def test_exact_substring_from_fingerprints_equivalent(spark, tmp_path):
+    """The persisted-fingerprint path (100 TB recipe: write
+    substr_fingerprints once, dedup from it) must be bit-identical to
+    the recompute path on the same corpus."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five"),
+            (2, f"six seven {shared} eight"),
+            (3, "n1 n2 n3 n4 n5 n6 n7 n8 n9"),
+            (4, shared),
+        ],
+        ["doc_id", "text"],
+    )
+    fp_dir = str(tmp_path / "fps")
+    dedupe.substr_fingerprints(docs, window=8).write.parquet(fp_dir)
+    fps = spark.read.parquet(fp_dir)
+    assert set(fps.columns) == {"id", "start", "h1", "h2"}
+
+    direct = sorted(
+        map(tuple, dedupe.exact_substring_dedup(docs, window=8).collect())
+    )
+    via_fps = sorted(
+        map(
+            tuple,
+            dedupe.exact_substring_dedup_from_fingerprints(
+                docs, fps, window=8
+            ).collect(),
+        )
+    )
+    assert direct == via_fps
+
+
+def test_from_fingerprints_single_source_scan(spark, tmp_path):
+    """The whole point of the persisted path: the SOURCE is scanned
+    exactly once per action (the recompute path scans it 3x). Counted
+    on the EXECUTED plan (the optimized-plan string abbreviates file
+    relations and drops the path), source as a parquet scan so each
+    scan node prints its location."""
+    docs_dir = str(tmp_path / "docs")
+    fp_dir = str(tmp_path / "fps")
+    spark.createDataFrame(
+        [(1, "a b c d e f g h i"), (2, "a b c d e f g h j")],
+        ["doc_id", "text"],
+    ).write.parquet(docs_dir)
+    docs = spark.read.parquet(docs_dir)
+    dedupe.substr_fingerprints(docs, window=8).write.parquet(fp_dir)
+    fps = spark.read.parquet(fp_dir)
+
+    def n_source_scans(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count(docs_dir)
+
+    assert n_source_scans(
+        dedupe.exact_substring_dedup(docs, window=8)
+    ) == 3  # the documented recompute cost
+    assert n_source_scans(
+        dedupe.exact_substring_dedup_from_fingerprints(docs, fps, window=8)
+    ) == 1
+
+
+def test_substr_fingerprints_128bit_pair_independent(spark):
+    """h1/h2 are independent 64-bit streams (different values for the
+    same span), and identical spans agree on BOTH — the 128-bit
+    collision story relies on exactly this."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h")], ["doc_id", "text"]
+    )
+    rows = dedupe.substr_fingerprints(docs, window=8).collect()
+    assert len(rows) == 2
+    (r1, r2) = rows
+    assert r1["h1"] != r1["h2"]  # independent streams
+    assert (r1["h1"], r1["h2"]) == (r2["h1"], r2["h2"])  # content-keyed
