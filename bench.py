@@ -121,16 +121,25 @@ def bench_cdc_replay(spark, sf: float, workdir: str) -> dict:
 
 def bench_mor_apply(spark, workdir: str) -> dict:
     """COW vs MOR steady-state apply: build the SAME base table from
-    the first 75% of the changelog (COW in both), then apply the last
-    25% as 16 small micro-batches per mode — the hot-batch regime where
-    the write modes actually diverge. Reports apply wall + events/s,
-    ROWS WRITTEN per mode (the write-amplification number that scales:
-    COW rewrites every touched bucket's full content per batch, MOR
-    writes only the batch), MOR's deferred compaction cost, and the
-    final-state hash equality check. At local sf the wall times are
-    dominated by per-batch fixed cost (file count is identical in both
-    modes); write_amplification is the 100 TB-relevant ratio."""
+    the first 75% of the changelog ONCE (COW), then shallow-clone it
+    per (mode, attempt) and apply the last 25% as 16 small
+    micro-batches — the hot-batch regime where the write modes actually
+    diverge. Reports apply wall + events/s, ROWS WRITTEN per mode (the
+    write-amplification number that scales: COW rewrites every touched
+    bucket's full content per batch, MOR writes only the batch), MOR's
+    deferred compaction cost, and the final-state hash equality check.
+
+    Best-of-2 per mode with INTERLEAVED attempts (cow, mor, cow, mor):
+    this sandbox's substrate shows multi-x wall swings between identical
+    runs minutes apart (BASELINE.md "Substrate variance"), and a
+    single-run ratio inverted the MOR advantage in the round-4 driver
+    window (mor_apply_speedup 0.958 vs 1.74x on a quiet same-day run of
+    the identical regime). Interleaving puts both modes inside any
+    drift window; all four walls are reported so noise is visible
+    instead of silently charged to either mode. write_amplification is
+    the 100 TB-relevant number either way (row counts, not walls)."""
     from clinvar_ingest_spark.engine import CdcEngine
+    from clinvar_ingest_spark.lakelet.maintenance import clone_table
 
     clp = os.path.join(workdir, "changelog.parquet")
     cl = spark.read.parquet(clp)
@@ -138,31 +147,40 @@ def bench_mor_apply(spark, workdir: str) -> dict:
     cut = (n * 3) // 4
     base, tail = cl.filter(f"seq < {cut}"), cl.filter(f"seq >= {cut}")
     tail_n = n - cut
-    out = {}
+    base_root = os.path.join(workdir, "pages_ab_base")
+    base_eng = CdcEngine(spark, base_root, n_buckets=64)
+    base_eng.replay(base, batch_size=max(cut // 4, 1))
+    runs: dict[str, list[dict]] = {"cow": [], "mor": []}
     hashes = {}
-    for mode in ("cow", "mor"):
-        root = os.path.join(workdir, f"pages_{mode}_ab")
-        CdcEngine(spark, root, n_buckets=64).replay(
-            base, batch_size=max(cut // 4, 1)
-        )
-        eng = CdcEngine(spark, root, n_buckets=64, write_mode=mode)
-        t0 = time.time()
-        stats = eng.replay(
-            tail, batch_size=max(tail_n // 16, 1), from_seq=cut
-        )
-        wall = time.time() - t0
-        ev = sum(s.n_events for s in stats)
-        rows_written = sum(sum(s.bucket_rows.values()) for s in stats)
-        out[mode] = {
-            "apply_sec": round(wall, 3),
-            "events_per_sec": round(ev / wall, 1),
-            "rows_written": rows_written,
-        }
-        if mode == "mor":
+    for attempt in range(2):
+        for mode in ("cow", "mor"):
+            root = os.path.join(workdir, f"pages_{mode}_ab{attempt}")
+            clone_table(base_eng.table, root)
+            eng = CdcEngine(spark, root, n_buckets=64, write_mode=mode)
             t0 = time.time()
-            eng.compact()
-            out[mode]["compact_sec"] = round(time.time() - t0, 3)
-        hashes[mode] = eng.state_hash()
+            stats = eng.replay(
+                tail, batch_size=max(tail_n // 16, 1), from_seq=cut
+            )
+            wall = time.time() - t0
+            ev = sum(s.n_events for s in stats)
+            run = {
+                "apply_sec": round(wall, 3),
+                "events_per_sec": round(ev / wall, 1),
+                "rows_written": sum(
+                    sum(s.bucket_rows.values()) for s in stats
+                ),
+            }
+            if mode == "mor":
+                t0 = time.time()
+                eng.compact()
+                run["compact_sec"] = round(time.time() - t0, 3)
+            hashes[mode] = eng.state_hash()
+            runs[mode].append(run)
+    out = {}
+    for mode in ("cow", "mor"):
+        best = dict(min(runs[mode], key=lambda r: r["apply_sec"]))
+        best["all_runs_sec"] = [r["apply_sec"] for r in runs[mode]]
+        out[mode] = best
     out["mor_apply_speedup"] = round(
         out["cow"]["apply_sec"] / out["mor"]["apply_sec"], 3
     )
