@@ -22,6 +22,7 @@ re-deliveries and the commit is idempotent by deterministic snapshot id.
 
 from __future__ import annotations
 
+import logging
 import os
 import time
 
@@ -36,6 +37,8 @@ from clinvar_ingest_spark.streaming.ledger import (
     LineageRecord,
     batch_id_for,
 )
+
+logger = logging.getLogger(__name__)
 
 
 class CdcEngine:
@@ -109,6 +112,9 @@ class CdcEngine:
         # (reference's jittered TDR-job polling, poll-ingest-job.py:46-56);
         # None → the RetryPolicy defaults
         self.retry_policy = retry_policy
+        #: transient commit errors retried so far (observable alongside
+        #: the per-batch lineage; each is also logged at WARNING)
+        self.retries_total = 0
         self.strategy = strategy
         self.extract_kernel = extract_kernel
         self.write_mode = write_mode
@@ -198,6 +204,20 @@ class CdcEngine:
         from clinvar_ingest_spark.lakelet.table import CommitConflictError
         from clinvar_ingest_spark.retry import with_retries
 
+        bid = batch_id_for(first_seq, last_seq)
+
+        def _log_retry(attempt: int, err: BaseException, delay: float) -> None:
+            # transient commit errors are retried, not swallowed: every
+            # attempt is visible to operators (and a hard failure like
+            # ENOSPC shows up attempts-1 times before it finally raises,
+            # instead of a silent 15-20 s stall)
+            self.retries_total += 1
+            logger.warning(
+                "transient error applying batch %s (attempt %d): %s — "
+                "retrying in %.2fs",
+                bid, attempt, err, delay,
+            )
+
         last_err: CommitConflictError | None = None
         for _attempt in range(max_commit_retries):
             try:
@@ -206,6 +226,7 @@ class CdcEngine:
                         batch, first_seq, last_seq, assume_all_buckets
                     ),
                     self.retry_policy,
+                    on_retry=_log_retry,
                 )
             except CommitConflictError as e:
                 last_err = e

@@ -84,6 +84,37 @@ def cosine_topk_bruteforce(
     )
 
 
+def _plan_row_estimate(df: DataFrame) -> int | None:
+    """Catalyst's row-count estimate for ``df``, or None.
+
+    Present when the source carries statistics (CBO-analyzed tables, or
+    a bare file scan whose row count Catalyst can derive); absent for
+    most derived plans. Used to size SRP bits WITHOUT running an eager
+    ``count()`` action — ``auto_srp_bits`` only consumes log₂(n), so an
+    estimate is as good as an exact count."""
+    try:
+        rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        if rc.isDefined():
+            return int(str(rc.get()))
+    except Exception:
+        return None
+    return None
+
+
+def _sizing_rows(df: DataFrame, n_rows: int | None) -> int:
+    """n for auto bit sizing: caller-supplied > plan estimate > count().
+
+    The count() fallback is an eager action over the upstream plan —
+    documented in both callers; pass ``n_rows`` (exact or estimated) or
+    cache ``df`` first when the derivation is expensive."""
+    if n_rows is not None:
+        return n_rows
+    est = _plan_row_estimate(df)
+    if est is not None:
+        return est
+    return df.count()
+
+
 def auto_srp_bits(
     n_rows: int, target_bucket_rows: int = 128, lo: int = 4, hi: int = 24
 ) -> int:
@@ -182,7 +213,7 @@ def lsh_bucket_topk(
     size); the exact-cosine gate is unchanged.
     """
     if bits is None:
-        bits = auto_srp_bits(n_rows if n_rows is not None else corpus.count())
+        bits = auto_srp_bits(_sizing_rows(corpus, n_rows))
     c = srp_sketch(corpus, dim, bits, seed, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "_bucket"
     )
@@ -237,7 +268,7 @@ def cosine_dup_pairs(
     oracle parity at a pinned SF).
     """
     if bits is None:
-        bits = auto_srp_bits(n_rows if n_rows is not None else df.count())
+        bits = auto_srp_bits(_sizing_rows(df, n_rows))
     s = srp_sketch(df, dim, bits, seed, vec_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "_bucket"
     )

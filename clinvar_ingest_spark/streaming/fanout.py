@@ -80,6 +80,21 @@ def run_fanout_feed(
             f"{bad} are not passthrough streams — dedup'd/aggregated "
             "entities need a stateful consumer (see module docstring)"
         )
+    # The guard below inspects the local filesystem; on a remote store
+    # (hdfs://, s3a://, …) os.path would always say "absent" and the
+    # fresh-lineage-over-populated-out_dir refusal would silently pass
+    # — the exact mix failure it exists to refuse. Refuse the scheme
+    # outright until a Hadoop-FS-backed check is wired.
+    for label, p in (("checkpoint_dir", checkpoint_dir), ("out_dir", out_dir)):
+        scheme = p.split("://", 1)[0] if "://" in p else ""
+        if scheme not in ("", "file"):
+            raise ValueError(
+                f"{label} {p!r} uses scheme {scheme!r}: the fresh-"
+                "checkpoint guard can only inspect local paths, and "
+                "skipping it risks mixing epoch-0 partitions into "
+                "stale out_dir data — use a local path, or pre-clear "
+                "out_dir and extend the guard via Hadoop FileSystem"
+            )
     fresh_lineage = not os.path.exists(
         os.path.join(checkpoint_dir, "offsets")
     )

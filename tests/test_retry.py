@@ -136,3 +136,53 @@ def test_mid_commit_transient_failure_reconverges(spark, tmp_path):
     assert victim.table.history() == control.table.history()
     # exactly one lineage record per batch — the retry never double-applied
     assert victim.lineage().count() == control.lineage().count()
+
+
+def test_engine_logs_and_counts_transient_retries(spark, tmp_path, caplog):
+    """Transient commit retries are observable: each fires a WARNING
+    naming the batch/attempt/delay and bumps engine.retries_total —
+    previously-fatal errors must never be retried in silence."""
+    import logging
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clinvar_ingest_spark.engine import CdcEngine
+    from clinvar_ingest_spark.sources.changelog import (
+        ChangelogSpec,
+        changelog_arrow_schema,
+        generate_changelog,
+    )
+
+    p = str(tmp_path / "cl.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(
+            generate_changelog(ChangelogSpec(n_events=300, n_urls=60, seed=5)),
+            schema=changelog_arrow_schema(),
+            preserve_index=False,
+        ),
+        p,
+    )
+    cl = spark.read.parquet(p)
+    eng = CdcEngine(
+        spark,
+        str(tmp_path / "t"),
+        n_buckets=4,
+        retry_policy=RetryPolicy(attempts=3, base_delay_secs=0.001, seed=1),
+    )
+    real = eng.table._commit_manifest
+    state = {"n": 0}
+
+    def flaky(*args, **kwargs):
+        state["n"] += 1
+        if state["n"] == 1:
+            raise OSError("simulated transient sink failure")
+        return real(*args, **kwargs)
+
+    eng.table._commit_manifest = flaky
+    with caplog.at_level(logging.WARNING, logger="clinvar_ingest_spark.engine"):
+        eng.replay(cl, batch_size=300)
+    assert eng.retries_total == 1
+    msgs = [r.message for r in caplog.records if "transient error" in r.message]
+    assert len(msgs) == 1
+    assert "attempt 1" in msgs[0] and "retrying in" in msgs[0]

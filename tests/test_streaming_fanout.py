@@ -110,3 +110,18 @@ def test_feed_rejects_fresh_checkpoint_over_populated_out(
     )
     with pytest.raises(ValueError, match="checkpoint .* is fresh"):
         run_fanout_feed(spark, seg_dir, str(tmp_path / "ckpt2"), out)
+
+
+def test_feed_rejects_remote_scheme_paths(spark, seg_dir, tmp_path):
+    """The fresh-checkpoint guard inspects the LOCAL filesystem; on a
+    remote store os.path would always report "absent" and the refusal
+    above would silently pass — so non-local schemes are refused
+    outright instead of half-checked."""
+    with pytest.raises(ValueError, match="scheme 'hdfs'"):
+        run_fanout_feed(
+            spark, seg_dir, "hdfs://nn/ckpt", str(tmp_path / "o")
+        )
+    with pytest.raises(ValueError, match="scheme 's3a'"):
+        run_fanout_feed(
+            spark, seg_dir, str(tmp_path / "c"), "s3a://bucket/out"
+        )
