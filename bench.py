@@ -60,7 +60,20 @@ HEADLINE = [
     "sessionize_events",
     "kmv_distinct_users",
     "nation_pagerank",
+    # round-4 operators (VERDICT r4 item 6: regressions in these were
+    # invisible round-over-round until now)
+    "exact_substring_dedup",
+    "exact_substring_persisted",
+    "fanout_mix",
 ]
+
+#: In-run anchor for substrate-drift cancellation (VERDICT r4 item 7):
+#: every query wall is also reported ÷ this query's wall from the SAME
+#: run, so host drift cancels and a real plan regression is unambiguous.
+#: tpch_q1 is the anchor because it is scan+agg only (no Python workers,
+#: no joins), stable across rounds, and present in every HEADLINE set
+#: since round 1.
+ANCHOR = "tpch_q1"
 
 
 def _sf_of(path: str) -> float:
@@ -191,6 +204,44 @@ def bench_mor_apply(spark, workdir: str) -> dict:
     return out
 
 
+def bench_fanout_feed(spark, workdir: str) -> dict:
+    """Streaming fan-out feed throughput (§2.8 × §2.9, VERDICT r4
+    item 6): the bench changelog split into 8 closed segments and
+    drained through ``run_fanout_feed`` (Structured Streaming,
+    epoch-keyed idempotent appends, 10 passthrough entity streams from
+    ONE parse per micro-batch). Reports wall, events/sec over the full
+    drain, and rows landed across all entity dirs."""
+    from clinvar_ingest_spark.streaming.fanout import run_fanout_feed
+
+    clp = os.path.join(workdir, "changelog.parquet")
+    cl = spark.read.parquet(clp)
+    n_events = cl.count()
+    seg_dir = os.path.join(workdir, "feed_segs")
+    # 8 closed segments → 4 micro-batches at maxFilesPerTrigger=2
+    cl.repartition(8).write.mode("overwrite").parquet(seg_dir)
+    out_dir = os.path.join(workdir, "feed_out")
+    t0 = time.time()
+    run_fanout_feed(
+        spark,
+        seg_dir,
+        os.path.join(workdir, "feed_ckpt"),
+        out_dir,
+        max_files_per_trigger=2,
+    )
+    wall = time.time() - t0
+    landed = 0
+    for et in os.listdir(out_dir):
+        p = os.path.join(out_dir, et)
+        if os.path.isdir(p):
+            landed += spark.read.parquet(p).count()
+    return {
+        "events": n_events,
+        "sec": round(wall, 3),
+        "events_per_sec": round(n_events / wall, 1),
+        "entity_rows_landed": landed,
+    }
+
+
 def bench_patch_apply(spark, sf: float, workdir: str) -> dict:
     """Cell-level LWW apply throughput: a changelog where 35 % of
     updates are PARTIAL images (op='patch') replayed through
@@ -302,20 +353,37 @@ def main() -> None:
         )
         mor_ab = bench_mor_apply(spark, workdir)
         patch = bench_patch_apply(spark, sf, workdir)
+        feed = bench_fanout_feed(spark, workdir)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
     times["cdc_replay"] = cdc["sec"]
+
+    # in-run anchor normalization (VERDICT r4 item 7): wall ÷ the same
+    # run's ANCHOR wall, so substrate drift between rounds cancels
+    anchor_sec = times.get(ANCHOR)
+    queries_norm = (
+        {
+            k: round(v / anchor_sec, 3)
+            for k, v in times.items()
+            if anchor_sec and anchor_sec > 0
+        }
+        if anchor_sec
+        else {}
+    )
 
     out = {
         "metric": "merge_apply_events_per_sec",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "anchor": {"query": ANCHOR, "sec": anchor_sec},
+        "queries_norm": queries_norm,
         "sf": sf,
         "cdc": cdc,
         "extract_ab": extract_ab,
         "cow_vs_mor": mor_ab,
         "patch_apply": patch,
+        "fanout_feed": feed,
         "cores": CPUS or "all",
     }
     print(json.dumps(out))

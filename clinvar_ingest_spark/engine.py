@@ -182,6 +182,7 @@ class CdcEngine:
         last_seq: int,
         assume_all_buckets: bool = False,
         max_commit_retries: int = 5,
+        partial_to: int | None = None,
     ) -> MergeStats | None:
         """Apply one micro-batch exactly once. Returns None on skip
         (already committed — the reference's short-circuit,
@@ -223,7 +224,8 @@ class CdcEngine:
             try:
                 return with_retries(
                     lambda: self._apply_batch_once(
-                        batch, first_seq, last_seq, assume_all_buckets
+                        batch, first_seq, last_seq, assume_all_buckets,
+                        partial_to=partial_to,
                     ),
                     self.retry_policy,
                     on_retry=_log_retry,
@@ -242,6 +244,7 @@ class CdcEngine:
         first_seq: int,
         last_seq: int,
         assume_all_buckets: bool = False,
+        partial_to: int | None = None,
     ) -> MergeStats | None:
         batch_id = batch_id_for(first_seq, last_seq)
         if self.ledger.is_committed(batch_id):
@@ -275,6 +278,7 @@ class CdcEngine:
                     n_events=0, n_inserts=0, n_updates=0, n_deletes=0,
                     touched_buckets=0, watermark=None,
                     wall_secs=0.0, events_per_sec=0.0,
+                    partial_to=partial_to,
                 )
             )
             return None
@@ -357,6 +361,7 @@ class CdcEngine:
                     {"bucket": b, "rows": r}
                     for b, r in sorted(stats.bucket_rows.items())
                 ],
+                partial_to=partial_to,
             )
         )
         return stats
@@ -434,6 +439,15 @@ class CdcEngine:
         ``compact_every=k`` folds merge-on-read deltas after every k
         applied batches AND once at the end — the deployment cadence
         for ``write_mode='mor'`` (ignored when no deltas exist).
+
+        Delivery is assumed **in seq order**: once any event with
+        seq > s has arrived, every event with seq ≤ s has arrived. A
+        tail batch whose id range overruns the delivered stream commits
+        with ``partial_to`` = the stream's max seq; when a later replay
+        delivers events past that point, only the uncommitted
+        (partial_to, last_seq] remainder is applied (its own
+        deterministic batch id) — so a growing log replayed repeatedly
+        through the same grid is exactly-once, never skip-and-lose.
         """
         bounds = changelog.agg(
             F.min("seq").alias("lo"), F.max("seq").alias("hi")
@@ -450,10 +464,37 @@ class CdcEngine:
         applied_since_compact = 0
         for first in range(start, hi + 1, batch_size):
             last = first + batch_size - 1
-            b = changelog.filter(
-                (F.col("seq") >= first) & (F.col("seq") <= last)
-            )
-            stats = self.apply_batch(b, first, last, assume_all_buckets=all_buckets)
+            partial = hi if last > hi else None
+            prior = self.ledger.get(batch_id_for(first, last))
+            if (
+                prior is not None
+                and prior.get("partial_to") is not None
+                and hi > int(prior["partial_to"])
+            ):
+                # heal a partially-committed range: apply ONLY the
+                # remainder under its own deterministic id, then advance
+                # (or clear) the original record's frontier. Crash
+                # between the two writes reconverges: the remainder id
+                # is committed, so the re-heal no-ops before the update.
+                cont_first = int(prior["partial_to"]) + 1
+                b = changelog.filter(
+                    (F.col("seq") >= cont_first) & (F.col("seq") <= last)
+                )
+                stats = self.apply_batch(
+                    b, cont_first, last,
+                    assume_all_buckets=all_buckets, partial_to=partial,
+                )
+                self.ledger.update(
+                    batch_id_for(first, last), partial_to=partial
+                )
+            else:
+                b = changelog.filter(
+                    (F.col("seq") >= first) & (F.col("seq") <= last)
+                )
+                stats = self.apply_batch(
+                    b, first, last,
+                    assume_all_buckets=all_buckets, partial_to=partial,
+                )
             if stats is not None:
                 out.append(stats)
                 applied_since_compact += 1
@@ -735,7 +776,7 @@ class CdcEngine:
             "n_deletes long, touched_buckets long, watermark string, "
             "wall_secs double, events_per_sec double, mode string, "
             "n_upserts long, engine_version string, "
-            "applied_at double, partitions_json string"
+            "applied_at double, partitions_json string, partial_to long"
         )
         return self.spark.createDataFrame(
             [
@@ -744,7 +785,7 @@ class CdcEngine:
                     "n_events", "n_inserts", "n_updates", "n_deletes",
                     "touched_buckets", "watermark", "wall_secs",
                     "events_per_sec", "mode", "n_upserts", "engine_version",
-                    "applied_at", "partitions_json",
+                    "applied_at", "partitions_json", "partial_to",
                 ))
                 for r in flat
             ],

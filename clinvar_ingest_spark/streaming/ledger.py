@@ -57,6 +57,14 @@ class LineageRecord:
     engine_version: str = ENGINE_VERSION
     applied_at: float = field(default_factory=time.time)  # excluded from determinism
     partitions: list[dict] = field(default_factory=list)  # per-bucket lineage
+    #: max seq the stream was known complete through when this range
+    #: committed. None = the full [first_seq, last_seq] range applied.
+    #: A tail batch whose range overruns the delivered stream commits
+    #: with partial_to = the stream's max seq; when later deliveries
+    #: extend past it, replay() applies just the (partial_to, last_seq]
+    #: remainder instead of skipping the whole committed id — without
+    #: this, a growing log permanently loses the remainder events.
+    partial_to: int | None = None
 
 
 class Ledger:
@@ -77,6 +85,15 @@ class Ledger:
         p = self._path(batch_id)
         return read_json(p) if os.path.exists(p) else None
 
+    def update(self, batch_id: str, **fields) -> None:
+        """Atomically rewrite named fields of a committed record (used
+        to advance/clear ``partial_to`` after a remainder heal)."""
+        rec = self.get(batch_id)
+        if rec is None:
+            raise KeyError(f"no ledger record for batch {batch_id}")
+        rec.update(fields)
+        atomic_write_json(self._path(batch_id), rec)
+
     def all_records(self) -> list[dict]:
         return sorted(
             (read_json(p) for p in glob.glob(os.path.join(self.dir, "*.json"))),
@@ -84,6 +101,16 @@ class Ledger:
         )
 
     def last_applied_seq(self) -> int:
-        """Resume point: max last_seq over committed batches (checkpoint)."""
+        """Resume point: max seq the stream is known COMPLETE through.
+        A record with ``partial_to`` set contributes that frontier, not
+        its nominal last_seq — resuming a consumer at
+        ``last_applied_seq() + 1`` must never skip the unhealed
+        remainder of a partially-committed tail batch."""
         recs = self.all_records()
-        return max((r["last_seq"] for r in recs), default=-1)
+        return max(
+            (
+                r["partial_to"] if r.get("partial_to") is not None else r["last_seq"]
+                for r in recs
+            ),
+            default=-1,
+        )

@@ -147,6 +147,101 @@ def test_redelivery_after_snapshot_expiry_is_noop(spark, changelog_df, tmp_table
     assert e.ledger.get(batch_id_for(0, 499)) == first_rec
 
 
+def test_growing_log_replay_heals_partial_tail(spark, changelog_df, tmp_path):
+    """A tail batch whose id range overruns the delivered stream commits
+    with partial_to = the stream's max seq; a later replay over the
+    grown log must apply EXACTLY the (partial_to, last_seq] remainder —
+    without the heal, the committed id would skip-and-lose it."""
+    from clinvar_ingest_spark.streaming.ledger import batch_id_for
+
+    ref = CdcEngine(spark, str(tmp_path / "ref"), n_buckets=8)
+    ref.replay(changelog_df, batch_size=500)
+    want = ref.state_hash()
+    want_full = ref.state_hash(include_tombstones=True)
+
+    e = CdcEngine(spark, str(tmp_path / "grow"), n_buckets=8)
+    # deliver 750 of 2000 events: batch [500,999] is partial through 749
+    e.replay(changelog_df.filter("seq < 750"), batch_size=500)
+    rec = e.ledger.get(batch_id_for(500, 999))
+    assert rec is not None and rec["partial_to"] == 749
+    # the resume frontier reflects the TRUE complete prefix, not the
+    # nominal batch range
+    assert e.ledger.last_applied_seq() == 749
+
+    # the log grows; same grid, full replay
+    e.replay(changelog_df, batch_size=500)
+    assert e.state_hash() == want
+    assert e.state_hash(include_tombstones=True) == want_full
+    # the healed record's frontier is cleared and the remainder has its
+    # own committed id
+    assert e.ledger.get(batch_id_for(500, 999))["partial_to"] is None
+    assert e.ledger.is_committed(batch_id_for(750, 999))
+    assert e.ledger.last_applied_seq() == 1999
+    # lineage() exposes the frontier column
+    assert "partial_to" in e.lineage().columns
+
+
+def test_growing_log_multiple_growth_steps(spark, changelog_df, tmp_path):
+    """Repeated unaligned growth: each replay heals only the uncommitted
+    remainder; the final state matches a single clean replay, and every
+    event is applied exactly once (no double-LWW, no loss)."""
+    ref = CdcEngine(spark, str(tmp_path / "ref"), n_buckets=8)
+    ref.replay(changelog_df, batch_size=600)
+    want = ref.state_hash(include_tombstones=True)
+
+    e = CdcEngine(spark, str(tmp_path / "grow"), n_buckets=8)
+    for cut in (250, 1100, 1450, None):
+        df = changelog_df if cut is None else changelog_df.filter(f"seq < {cut}")
+        e.replay(df, batch_size=600)
+    assert e.state_hash(include_tombstones=True) == want
+    # total events across lineage equals the changelog size exactly
+    total = sum(r["n_events"] for r in e.ledger.all_records())
+    assert total == changelog_df.count()
+
+
+def test_partial_heal_crash_between_commit_and_frontier_update(
+    spark, changelog_df, tmp_path
+):
+    """Crash window inside the heal: the remainder batch committed but
+    the original record's frontier was not advanced. The re-heal must
+    no-op the remainder (its id is committed) and then advance the
+    frontier — never re-merge."""
+    from clinvar_ingest_spark.streaming.ledger import batch_id_for
+
+    e = CdcEngine(spark, str(tmp_path / "t"), n_buckets=8)
+    e.replay(changelog_df.filter("seq < 750"), batch_size=500)
+    # simulate the crash: apply the remainder exactly as the heal would,
+    # but skip the ledger.update
+    rem = changelog_df.filter("seq >= 750 AND seq <= 999")
+    assert e.apply_batch(rem, 750, 999) is not None
+    h = e.state_hash(include_tombstones=True)
+    hist = e.table.history()
+    assert e.ledger.get(batch_id_for(500, 999))["partial_to"] == 749  # stale
+
+    # re-run the replay over the grown log: heal path no-ops the
+    # remainder, repairs the frontier, applies only genuinely-new batches
+    e.replay(changelog_df.filter("seq < 1000"), batch_size=500)
+    assert e.ledger.get(batch_id_for(500, 999))["partial_to"] is None
+    assert e.state_hash(include_tombstones=True) == h
+    assert e.table.history() == hist  # remainder was NOT re-merged
+
+
+def test_shrunk_redelivery_is_noop(spark, changelog_df, tmp_path):
+    """Redelivering LESS than previously seen (replayer restarted from an
+    older segment) must not regress the frontier or re-merge anything."""
+    from clinvar_ingest_spark.streaming.ledger import batch_id_for
+
+    e = CdcEngine(spark, str(tmp_path / "t"), n_buckets=8)
+    e.replay(changelog_df.filter("seq < 750"), batch_size=500)
+    h = e.state_hash(include_tombstones=True)
+    hist = e.table.history()
+    assert e.replay(changelog_df.filter("seq < 600"), batch_size=500) == []
+    assert e.state_hash(include_tombstones=True) == h
+    assert e.table.history() == hist
+    assert e.ledger.get(batch_id_for(500, 999))["partial_to"] == 749
+    assert e.ledger.last_applied_seq() == 749
+
+
 def test_lineage_dataframe(spark, changelog_df, tmp_table_root):
     eng = CdcEngine(spark, tmp_table_root, n_buckets=8)
     eng.replay(changelog_df, batch_size=1000)
