@@ -45,6 +45,31 @@ PASSTHROUGH_TYPES = tuple(
 )
 
 
+def _fs_check(spark, path: str, *, as_dir: bool = False) -> bool:
+    """Existence (or directory-ness) of ``path`` through Hadoop's
+    FileSystem API — valid for every scheme the session's Hadoop conf
+    can reach, unlike ``os.path``, which reports any remote URI as
+    absent. A filesystem the guard cannot reach raises instead of
+    returning False: a guard that cannot look must refuse, not pass."""
+    jvm = spark._jvm
+    try:
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if as_dir:
+            return bool(
+                fs.exists(hpath) and fs.getFileStatus(hpath).isDirectory()
+            )
+        return bool(fs.exists(hpath))
+    except Exception as e:
+        raise ValueError(
+            f"fresh-checkpoint guard cannot inspect {path!r} "
+            f"({e.__class__.__name__}): checkpoint_dir and out_dir must "
+            "be reachable through Hadoop FileSystem before the feed "
+            "starts — fix the scheme/credentials/jars or use a "
+            "reachable path"
+        ) from e
+
+
 def run_fanout_feed(
     spark,
     seg_dir: str | None,
@@ -80,26 +105,19 @@ def run_fanout_feed(
             f"{bad} are not passthrough streams — dedup'd/aggregated "
             "entities need a stateful consumer (see module docstring)"
         )
-    # The guard below inspects the local filesystem; on a remote store
-    # (hdfs://, s3a://, …) os.path would always say "absent" and the
-    # fresh-lineage-over-populated-out_dir refusal would silently pass
-    # — the exact mix failure it exists to refuse. Refuse the scheme
-    # outright until a Hadoop-FS-backed check is wired.
-    for label, p in (("checkpoint_dir", checkpoint_dir), ("out_dir", out_dir)):
-        scheme = p.split("://", 1)[0] if "://" in p else ""
-        if scheme not in ("", "file"):
-            raise ValueError(
-                f"{label} {p!r} uses scheme {scheme!r}: the fresh-"
-                "checkpoint guard can only inspect local paths, and "
-                "skipping it risks mixing epoch-0 partitions into "
-                "stale out_dir data — use a local path, or pre-clear "
-                "out_dir and extend the guard via Hadoop FileSystem"
-            )
-    fresh_lineage = not os.path.exists(
-        os.path.join(checkpoint_dir, "offsets")
+    # The guard resolves paths through Hadoop's FileSystem API, so any
+    # scheme the session can actually write to (file://, hdfs://,
+    # s3a://, …) is also inspectable; os.path here would report remote
+    # URIs as absent and the fresh-lineage-over-populated-out_dir
+    # refusal would silently pass — the exact mix failure it exists to
+    # refuse. An UNREACHABLE filesystem is itself a refusal, never a
+    # silent pass.
+    fresh_lineage = not _fs_check(
+        spark, os.path.join(checkpoint_dir, "offsets")
     )
     populated = any(
-        os.path.isdir(os.path.join(out_dir, et)) for et in entity_types
+        _fs_check(spark, os.path.join(out_dir, et), as_dir=True)
+        for et in entity_types
     )
     if fresh_lineage and populated:
         raise ValueError(

@@ -242,6 +242,52 @@ def test_shrunk_redelivery_is_noop(spark, changelog_df, tmp_path):
     assert e.ledger.last_applied_seq() == 749
 
 
+def test_growing_log_heal_composes_with_mor(spark, changelog_df, tmp_path):
+    """The heal path goes through the shared apply_batch, so it must
+    compose with merge-on-read deltas: a growing log replayed through a
+    MOR engine (compacted at the end) converges to the clean
+    single-replay COW state."""
+    ref = CdcEngine(spark, str(tmp_path / "ref"), n_buckets=8)
+    ref.replay(changelog_df, batch_size=400)
+    want = ref.state_hash(include_tombstones=True)
+
+    e = CdcEngine(spark, str(tmp_path / "grow"), n_buckets=8, write_mode="mor")
+    for cut in (600, 1100, None):
+        df = changelog_df if cut is None else changelog_df.filter(f"seq < {cut}")
+        e.replay(df, batch_size=400)
+    e.compact()
+    assert e.state_hash(include_tombstones=True) == want
+
+
+def test_growing_log_heal_composes_with_patch_ops(spark, tmp_path):
+    """Heal under cell-level patch ops (COW — patch_ops rejects MOR by
+    design): partial-image events split across a partial commit and its
+    remainder heal must resolve to the same cells as one clean replay."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clinvar_ingest_spark.sources.changelog import changelog_arrow_schema
+
+    pdf = generate_changelog(
+        ChangelogSpec(n_events=1500, n_urls=200, n_hosts=8, seed=23, p_patch=0.35)
+    )
+    p = str(tmp_path / "cl.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=changelog_arrow_schema(), preserve_index=False), p
+    )
+    cl = spark.read.parquet(p)
+
+    ref = CdcEngine(spark, str(tmp_path / "ref"), n_buckets=8, patch_ops=True)
+    ref.replay(cl, batch_size=400)
+    want = ref.state_hash(include_tombstones=True)
+
+    e = CdcEngine(spark, str(tmp_path / "grow"), n_buckets=8, patch_ops=True)
+    for cut in (600, 1100, None):
+        df = cl if cut is None else cl.filter(f"seq < {cut}")
+        e.replay(df, batch_size=400)
+    assert e.state_hash(include_tombstones=True) == want
+
+
 def test_lineage_dataframe(spark, changelog_df, tmp_table_root):
     eng = CdcEngine(spark, tmp_table_root, n_buckets=8)
     eng.replay(changelog_df, batch_size=1000)

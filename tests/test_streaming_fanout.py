@@ -112,16 +112,30 @@ def test_feed_rejects_fresh_checkpoint_over_populated_out(
         run_fanout_feed(spark, seg_dir, str(tmp_path / "ckpt2"), out)
 
 
-def test_feed_rejects_remote_scheme_paths(spark, seg_dir, tmp_path):
-    """The fresh-checkpoint guard inspects the LOCAL filesystem; on a
-    remote store os.path would always report "absent" and the refusal
-    above would silently pass — so non-local schemes are refused
-    outright instead of half-checked."""
-    with pytest.raises(ValueError, match="scheme 'hdfs'"):
+def test_feed_guard_resolves_paths_through_hadoop_fs(
+    spark, seg_dir, tmp_path
+):
+    """The fresh-checkpoint guard resolves paths through Hadoop's
+    FileSystem API: explicit file:// URIs (which os.path would treat as
+    a literal directory name) drive the full guard end-to-end, and the
+    populated-out_dir refusal still fires across lineages."""
+    out = "file://" + str(tmp_path / "out")
+    run_fanout_feed(
+        spark, seg_dir, "file://" + str(tmp_path / "ckpt1"), out,
+        max_files_per_trigger=1,
+    )
+    assert (tmp_path / "out").is_dir()  # the URI really landed locally
+    with pytest.raises(ValueError, match="checkpoint .* is fresh"):
         run_fanout_feed(
-            spark, seg_dir, "hdfs://nn/ckpt", str(tmp_path / "o")
+            spark, seg_dir, "file://" + str(tmp_path / "ckpt2"), out
         )
-    with pytest.raises(ValueError, match="scheme 's3a'"):
+
+
+def test_feed_guard_refuses_unreachable_filesystem(spark, seg_dir, tmp_path):
+    """A filesystem the guard cannot reach (no s3a jars in this sandbox)
+    must refuse to start the feed — an uninspectable out_dir is exactly
+    the silent epoch-mix risk the guard exists for."""
+    with pytest.raises(ValueError, match="cannot inspect"):
         run_fanout_feed(
             spark, seg_dir, str(tmp_path / "c"), "s3a://bucket/out"
         )
