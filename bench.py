@@ -178,6 +178,12 @@ def bench_mor_apply(spark, workdir: str) -> dict:
             ev = sum(s.n_events for s in stats)
             run = {
                 "apply_sec": round(wall, 3),
+                # the Spark write-job fraction of the wall: isolates the
+                # row-VOLUME term (what scales with data) from per-batch
+                # fixed cost (job scheduling/planning/commit — constant
+                # per batch, dominant at small SF on many cores, where it
+                # can mask the modes' difference in the raw wall ratio)
+                "write_sec": round(sum(s.write_secs for s in stats), 3),
                 "events_per_sec": round(ev / wall, 1),
                 "rows_written": sum(
                     sum(s.bucket_rows.values()) for s in stats
@@ -196,6 +202,9 @@ def bench_mor_apply(spark, workdir: str) -> dict:
         out[mode] = best
     out["mor_apply_speedup"] = round(
         out["cow"]["apply_sec"] / out["mor"]["apply_sec"], 3
+    )
+    out["mor_write_speedup"] = round(
+        out["cow"]["write_sec"] / max(out["mor"]["write_sec"], 1e-9), 3
     )
     out["cow_write_amplification"] = round(
         out["cow"]["rows_written"] / max(out["mor"]["rows_written"], 1), 2

@@ -353,6 +353,14 @@ def merge_apply_mor(
             .distinct()
             .collect()
         ]
+    # Delta write width stays = touched buckets (commit_delta default),
+    # NOT delta-row-proportional: the write stage carries the batch's
+    # Arrow extract work (ExtractPythonUDFs places the Python eval above
+    # the bucket exchange), so narrowing the width serializes compute,
+    # not just parquet encode — measured 1.7x slower per hot batch at
+    # width=1 vs width=64 in an interleaved same-session A/B (PLANS.md
+    # "MOR hot-batch apply"). Schedulers handle near-empty tasks in ~ms;
+    # serialized extract costs real seconds.
 
     batch_obs = Observation()
     observed = batch.observe(
