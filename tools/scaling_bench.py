@@ -29,14 +29,18 @@ from clinvar_ingest_spark.engine import CdcEngine
 
 cores = int(sys.argv[1]); changelog = sys.argv[2]; workdir = sys.argv[3]
 batches = int(sys.argv[4]); n_buckets = int(sys.argv[5])
-pin = int(sys.argv[6])
+pin = int(sys.argv[6]); slots = int(sys.argv[7]) if len(sys.argv) > 7 else 1
 if pin:
     # Pin the WHOLE process tree (JVM + python UDF workers inherit the
     # affinity mask) to exactly `cores` physical cores: local[N] alone
     # bounds only JVM task slots, and the python workers would
     # otherwise run on extra cores, overstating small-N throughput.
     os.sched_setaffinity(0, set(range(cores)))
-spark = get_spark(app_name=f"scaling_{{cores}}", master=f"local[{{cores}}]")
+# slots>1 oversubscribes TASK SLOTS on the same pinned physical
+# cores (identically at both levels): each task alternates python
+# Arrow compute and JVM encode, so extra slots fill the handoff
+# bubbles the same way a real executor runs more tasks than cores
+spark = get_spark(app_name=f"scaling_{{cores}}", master=f"local[{{cores * slots}}]")
 cl = spark.read.parquet(changelog)
 bounds = cl.selectExpr("min(seq) lo", "max(seq) hi").collect()[0]
 n = int(bounds["hi"]) - int(bounds["lo"]) + 1
@@ -81,6 +85,7 @@ shutil.rmtree(tdir, ignore_errors=True)
 def run_level(
     cores: int, changelog: str, workdir: str, batches: int,
     driver_mem: str = "8g", n_buckets: int = 128, pin: bool = False,
+    slots: int = 1,
 ) -> dict:
     script = RUNNER.format(repo=REPO)
     env = dict(
@@ -95,7 +100,7 @@ def run_level(
     )
     out = subprocess.run(
         [sys.executable, "-c", script, str(cores), changelog, workdir,
-         str(batches), str(n_buckets), str(int(pin))],
+         str(batches), str(n_buckets), str(int(pin)), str(slots)],
         capture_output=True, text=True, timeout=3600, env=env,
     )
     if out.returncode != 0:
@@ -189,6 +194,11 @@ def main() -> None:
                     help="table bucket count; default 4*max(n,xn) per the "
                          "engine's n_buckets >> cores sizing rule "
                          "(merge_cogroup.py plan notes)")
+    ap.add_argument("--slots-per-core", type=int, default=1,
+                    help="task slots per pinned physical core, applied "
+                         "identically at both levels (local[cores*slots] "
+                         "pinned to `cores` cores) — >1 overlaps the "
+                         "python-Arrow / JVM handoff bubbles")
     ap.add_argument("--tmpfs", action="store_true",
                     help="put workdir + spark.local.dir on /dev/shm — isolates "
                          "CPU scaling from the sandbox's single virtio disk "
@@ -233,8 +243,9 @@ def main() -> None:
     for rep in range(args.repeats):
         for cores, sink in ((args.n, runs_n), (args.xn, runs_xn)):
             try:
+                kw = {} if args.via_submit else {"slots": args.slots_per_core}
                 sink.append(level_fn(cores, clp, workdir, args.batches,
-                                     args.driver_mem, n_buckets, args.pin))
+                                     args.driver_mem, n_buckets, args.pin, **kw))
                 print(f"rep {rep} local[{cores}]: {sink[-1]['events_per_sec']} ev/s",
                       file=sys.stderr)
             except Exception as e:  # flaky-substrate runs are retried next rep
