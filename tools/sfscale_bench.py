@@ -57,6 +57,9 @@ QUERIES = [
     "vocab_topk",
     # round 4
     "exact_substring_dedup",
+    # round 5: same content-keyed result off a materialized fingerprint
+    # table — the 100 TB path (source scanned once)
+    "exact_substring_persisted",
 ]
 
 STOPWORD_POOL = (
