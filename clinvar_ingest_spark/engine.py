@@ -22,6 +22,7 @@ re-deliveries and the commit is idempotent by deterministic snapshot id.
 
 from __future__ import annotations
 
+import contextlib
 import logging
 import os
 import time
@@ -41,6 +42,56 @@ from clinvar_ingest_spark.streaming.ledger import (
 logger = logging.getLogger(__name__)
 
 
+@contextlib.contextmanager
+def _pinned_shuffle(spark: SparkSession, n_partitions: int):
+    """Pin shuffle parallelism for a compute-dense bucket shuffle.
+
+    Spark's AQE sizes post-shuffle partitions by BYTES
+    (``advisoryPartitionSizeInBytes``) and, with the default
+    ``coalescePartitions.parallelismFirst=true``, coalesces down to
+    ~``spark.default.parallelism`` — one task wave per core. For the
+    engine's apply stage both are wrong: partitions are byte-small but
+    compute-heavy (decompress + extract), so a single wave makes the
+    stage wall the MAX bucket-group cost instead of the mean. Pinning
+    ``shuffle.partitions`` to the table's bucket count (the true unit
+    of balance, sized ``>> cores``) and disabling coalescing restores
+    many waves per core. Measured: +15% throughput at local[8] and
+    raw 2→8-core scaling efficiency 0.73 → 0.87 (BENCH_SCALING_R5).
+
+    Runtime-conf scoped: saved values are restored on exit, including
+    on error. Conf is session-global while held — callers sharing one
+    session across concurrent queries should pass
+    ``pin_apply_parallelism=False`` to the engine instead.
+    """
+    conf = spark.conf
+    try:
+        current = int(conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        current = 0
+    # never pin BELOW the session's setting: the join strategy's LWW
+    # shuffle hashes on url (not bucket) and can use more partitions
+    # than buckets; the bucket shuffles just leave the excess empty
+    pins = {
+        "spark.sql.shuffle.partitions": str(max(n_partitions, current)),
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved: dict[str, str | None] = {}
+    for k, v in pins.items():
+        try:
+            saved[k] = conf.get(k)
+        except Exception:
+            saved[k] = None
+        conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+
+
 class CdcEngine:
     def __init__(
         self,
@@ -55,6 +106,7 @@ class CdcEngine:
         max_records_per_file: int | None = None,
         patch_ops: bool = False,
         retry_policy=None,
+        pin_apply_parallelism: bool = True,
     ):
         """``strategy``: 'cogroup' (default; per-bucket applyInPandas,
         2 shuffles/batch) or 'join' (full-outer-join formulation,
@@ -82,6 +134,24 @@ class CdcEngine:
         :meth:`publish`; the branch has its own exactly-once ledger, so
         replaying the same changelog on a fresh branch re-applies from
         the fork point rather than no-opping against main's history.
+
+        ``pin_apply_parallelism``: during each batch apply, pin
+        ``spark.sql.shuffle.partitions`` to ``n_buckets`` and disable
+        AQE partition coalescing, restoring the session conf after.
+        The apply shuffle hashes on ``_bucket`` (≤ ``n_buckets``
+        distinct values) and its partitions are compute-dense per byte
+        (zstd'd HTML expands ~20×, then extraction), so AQE's
+        bytes-based coalescing — and especially
+        ``coalescePartitions.parallelismFirst`` — collapses the stage
+        to ~one task wave per core; the wall then equals the most
+        skewed bucket group. Measured on the 1M-event scaling bench
+        (BENCH_SCALING_R5 family): coalescing on = 27.2k ev/s at
+        local[8], raw 2→8-core efficiency 0.73; pinned = 31.2k ev/s,
+        efficiency 0.87. Buckets, not bytes, are this stage's unit of
+        balance — ``n_buckets >> cores`` (the engine's sizing rule)
+        gives many waves per core and amortizes bucket skew. The pin is
+        scoped (set → apply → restore) and session-global while held;
+        disable it if other queries share the session concurrently.
 
         ``validate``: True enables dead-letter routing with the default
         rules (null key / null warc_ts / unknown op), or pass an ordered
@@ -118,6 +188,7 @@ class CdcEngine:
         self.strategy = strategy
         self.extract_kernel = extract_kernel
         self.write_mode = write_mode
+        self.pin_apply_parallelism = pin_apply_parallelism
         self.patch_ops = patch_ops
         cols = PAGES_COLUMNS
         if patch_ops:
@@ -219,20 +290,28 @@ class CdcEngine:
                 bid, attempt, err, delay,
             )
 
+        pin = (
+            _pinned_shuffle(
+                self.spark, self.table.manifest().n_buckets
+            )
+            if self.pin_apply_parallelism
+            else contextlib.nullcontext()
+        )
         last_err: CommitConflictError | None = None
-        for _attempt in range(max_commit_retries):
-            try:
-                return with_retries(
-                    lambda: self._apply_batch_once(
-                        batch, first_seq, last_seq, assume_all_buckets,
-                        partial_to=partial_to,
-                    ),
-                    self.retry_policy,
-                    on_retry=_log_retry,
-                )
-            except CommitConflictError as e:
-                last_err = e
-                continue
+        with pin:
+            for _attempt in range(max_commit_retries):
+                try:
+                    return with_retries(
+                        lambda: self._apply_batch_once(
+                            batch, first_seq, last_seq, assume_all_buckets,
+                            partial_to=partial_to,
+                        ),
+                        self.retry_policy,
+                        on_retry=_log_retry,
+                    )
+                except CommitConflictError as e:
+                    last_err = e
+                    continue
         raise RuntimeError(
             f"batch {batch_id_for(first_seq, last_seq)} lost the commit "
             f"race {max_commit_retries} times"

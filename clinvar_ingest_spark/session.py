@@ -86,6 +86,15 @@ def get_spark(
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
+    # JSON dict of extra spark confs — lets deployment (and the scaling
+    # bench's fresh-JVM subprocesses) override any default without code
+    # changes; explicit extra_conf still wins over the env
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    if env_conf:
+        import json as _json
+
+        for k, v in _json.loads(env_conf).items():
+            builder = builder.config(k, str(v))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
