@@ -481,13 +481,21 @@ class CdcEngine:
         rows = self.table.read(self.spark, buckets=todo).withColumn(
             "_bucket", bucket_expr(self.table.key_col, m.n_buckets)
         )
-        return self.table.commit_rewrite(
-            self.spark,
-            rows,
-            touched_buckets=todo,
-            batch_id=f"compact:{m.snapshot_id[:16]}",
-            expected_parent_id=m.snapshot_id,
+        # same compute-dense bucket-shuffle shape as the apply path —
+        # resolution windows + COW rewrite balance by bucket, not bytes
+        pin = (
+            _pinned_shuffle(self.spark, m.n_buckets)
+            if self.pin_apply_parallelism
+            else contextlib.nullcontext()
         )
+        with pin:
+            return self.table.commit_rewrite(
+                self.spark,
+                rows,
+                touched_buckets=todo,
+                batch_id=f"compact:{m.snapshot_id[:16]}",
+                expected_parent_id=m.snapshot_id,
+            )
 
     def publish(self, expected_parent_id: str | None = None) -> str:
         """Write-audit-publish, final step for a ``branch=`` engine:
