@@ -25,6 +25,7 @@ from __future__ import annotations
 import contextlib
 import logging
 import os
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -42,6 +43,16 @@ from clinvar_ingest_spark.streaming.ledger import (
 logger = logging.getLogger(__name__)
 
 
+#: per-SparkSession pin refcounts — concurrent writers (multi-writer
+#: commit tests, streaming foreachBatch + background compaction) pin
+#: the SAME session; without refcounting the second pin would save the
+#: first pin's values and "restore" them last, leaving the session
+#: conf permanently pinned. First pin in saves + sets; last pin out
+#: restores.
+_PIN_LOCK = threading.Lock()
+_PIN_STATE: dict[int, dict] = {}
+
+
 @contextlib.contextmanager
 def _pinned_shuffle(spark: SparkSession, n_partitions: int):
     """Pin shuffle parallelism for a compute-dense bucket shuffle.
@@ -55,41 +66,63 @@ def _pinned_shuffle(spark: SparkSession, n_partitions: int):
     stage wall the MAX bucket-group cost instead of the mean. Pinning
     ``shuffle.partitions`` to the table's bucket count (the true unit
     of balance, sized ``>> cores``) and disabling coalescing restores
-    many waves per core. Measured: +15% throughput at local[8] and
-    raw 2→8-core scaling efficiency 0.73 → 0.87 (BENCH_SCALING_R5).
+    many waves per core. Measured: +19% throughput at local[8] and
+    raw 2→8-core scaling efficiency 0.73 → 0.90 (BASELINE.md
+    "Round-5 CORRECTION", BENCH_SCALING_R5_ENGINEPIN.json).
 
-    Runtime-conf scoped: saved values are restored on exit, including
-    on error. Conf is session-global while held — callers sharing one
-    session across concurrent queries should pass
-    ``pin_apply_parallelism=False`` to the engine instead.
+    Runtime-conf scoped and reentrancy-safe: pins on one session
+    refcount, the first pin in saves the session values, the last pin
+    out restores them (including on error). Conf is still
+    session-global while held, so concurrent NON-engine queries on the
+    same session plan under the pinned values — callers who care
+    should pass ``pin_apply_parallelism=False`` to the engine.
     """
     conf = spark.conf
-    try:
-        current = int(conf.get("spark.sql.shuffle.partitions"))
-    except Exception:
-        current = 0
-    # never pin BELOW the session's setting: the join strategy's LWW
-    # shuffle hashes on url (not bucket) and can use more partitions
-    # than buckets; the bucket shuffles just leave the excess empty
-    pins = {
-        "spark.sql.shuffle.partitions": str(max(n_partitions, current)),
-        "spark.sql.adaptive.coalescePartitions.enabled": "false",
-    }
-    saved: dict[str, str | None] = {}
-    for k, v in pins.items():
+    key = id(spark)
+    with _PIN_LOCK:
+        st = _PIN_STATE.get(key)
+        if st is None:
+            saved: dict[str, str | None] = {}
+            for k in (
+                "spark.sql.shuffle.partitions",
+                "spark.sql.adaptive.coalescePartitions.enabled",
+            ):
+                try:
+                    saved[k] = conf.get(k)
+                except Exception:
+                    saved[k] = None
+            st = _PIN_STATE[key] = {
+                "count": 0,
+                "saved": saved,
+                "pinned_parts": 0,
+            }
+        st["count"] += 1
         try:
-            saved[k] = conf.get(k)
-        except Exception:
-            saved[k] = None
-        conf.set(k, v)
+            base = int(st["saved"]["spark.sql.shuffle.partitions"])
+        except (TypeError, ValueError):
+            base = 0
+        # never pin BELOW the session's own setting: the join
+        # strategy's LWW shuffle hashes on url (not bucket) and can use
+        # more partitions than buckets; bucket shuffles leave the
+        # excess empty. Concurrent pins take the max of their requests.
+        want = max(n_partitions, base, st["pinned_parts"])
+        if want != st["pinned_parts"]:
+            st["pinned_parts"] = want
+            conf.set("spark.sql.shuffle.partitions", str(want))
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     try:
         yield
     finally:
-        for k, v in saved.items():
-            if v is None:
-                conf.unset(k)
-            else:
-                conf.set(k, v)
+        with _PIN_LOCK:
+            st = _PIN_STATE[key]
+            st["count"] -= 1
+            if st["count"] == 0:
+                for k, v in st["saved"].items():
+                    if v is None:
+                        conf.unset(k)
+                    else:
+                        conf.set(k, v)
+                del _PIN_STATE[key]
 
 
 class CdcEngine:

@@ -73,16 +73,75 @@ def test_pinned_shuffle_restores_on_error(spark):
 
 
 def test_engine_apply_restores_session_conf(spark, tmp_path, changelog_df):
-    before = spark.conf.get("spark.sql.shuffle.partitions")
+    # restore means "put back whatever was set BEFORE the apply", not a
+    # fixed value — another test sharing the session may legitimately
+    # have left a different coalescing setting
+    before_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    before_coal = spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.enabled"
+    )
     eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=4)
     cl = changelog_df.filter(F.col("seq") < 200)
     eng.replay(cl, batch_size=100)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before_parts
+    assert (
+        spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+        == before_coal
+    )
+    assert eng.pages().count() > 0
+
+
+def test_pinned_shuffle_nested_and_overlapping(spark):
+    """Overlapping pins on one session must restore the ORIGINAL conf —
+    the exact leak test_concurrent_commit exposed: pin B saving pin A's
+    values and restoring them last left the session pinned forever."""
+    conf = spark.conf
+    before_parts = conf.get("spark.sql.shuffle.partitions")
+    before_coal = conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    with _pinned_shuffle(spark, 50):
+        with _pinned_shuffle(spark, 200):
+            # concurrent pins take the max of their requests
+            assert conf.get("spark.sql.shuffle.partitions") == "200"
+        # still pinned (refcount 1) — inner exit must NOT restore yet
+        assert (
+            conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+            == "false"
+        )
+    assert conf.get("spark.sql.shuffle.partitions") == before_parts
+    assert (
+        conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+        == before_coal
+    )
+
+
+def test_concurrent_engine_applies_restore_conf(spark, tmp_path, changelog_df):
+    """Two engines applying in parallel threads on ONE session — after
+    both finish, the session conf is back to its pre-apply values."""
+    import threading
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    before_coal = spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.enabled"
+    )
+    cl = changelog_df.filter(F.col("seq") < 200)
+    errs = []
+
+    def run(i):
+        try:
+            eng = CdcEngine(spark, str(tmp_path / f"t{i}"), n_buckets=4)
+            eng.replay(cl, batch_size=100)
+        except Exception as e:  # surfaced below
+            errs.append(e)
+
+    ts = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
     assert (
         spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
-        == "true"
+        == before_coal
     )
-    assert eng.pages().count() > 0
 
 
 def test_engine_pin_opt_out(spark, tmp_path, changelog_df):
