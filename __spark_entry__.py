@@ -882,6 +882,65 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_topk(_t(spark, sf_dir, "documents"), k=50)
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Lucene +1-floor idf) over the documents
+    corpus for a 3-term query: term filter pushed below the explode,
+    ONE partial-agged tf Exchange, corpus stats + per-term df broadcast,
+    top-k via TakeOrderedAndProject on the e4-rounded score (integer
+    tie-break → deterministic, oracle-mirrorable cut)."""
+    from clinvar_ingest_spark.operators.ranking import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"),
+        terms=["spark", "merge", "vector"],
+        k=20,
+    )
+
+
+def q_canonical_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL key normalization (functions/url.py) ahead of the
+    keyed MERGE: two deterministic spellings per document — a messy
+    variant (uppercase authority, :443, utm_*/gclid params, fragment,
+    trailing slash; which one varies by doc_id % 4) and its clean form
+    — must collapse to ONE canonical key each. Pure column expressions
+    end-to-end; the oracle re-runs the identical ruleset in SQL.
+    Output: one row per canonical key with the variant count (always 2
+    — asserted in pytest) and the keeper id (min doc_id)."""
+    from clinvar_ingest_spark.functions.url import canonical_url
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    sid = F.col("doc_id").cast("string")
+    base = F.concat(F.col("source"), F.lit(".example.com"))
+    path = F.concat(F.lit("/"), F.col("lang"), F.lit("/Doc/"), sid)
+    mod = F.pmod(F.col("doc_id"), F.lit(4))
+    messy_suffix = (
+        F.when(mod == 0, F.concat(F.lit("?utm_source=feed&page="), sid))
+        .when(mod == 1, F.lit("/?gclid=zz1"))
+        .when(mod == 2, F.lit("#frag-2"))
+        .otherwise(F.lit("/"))
+    )
+    clean_suffix = F.when(mod == 0, F.concat(F.lit("?page="), sid)).otherwise(
+        F.lit("")
+    )
+    messy = d.select(
+        "doc_id",
+        F.concat(F.lit("HTTPS://"), F.upper(base), F.lit(":443"), path, messy_suffix).alias("url"),
+    )
+    clean = d.select(
+        "doc_id",
+        F.concat(F.lit("https://"), base, path, clean_suffix).alias("url"),
+    )
+    return (
+        messy.unionByName(clean)
+        .select("doc_id", canonical_url(F.col("url")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+    )
+
+
 def q_patch_lww_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-level LWW (patch-upsert fold): each profile field takes
     its value from the latest event that carried it — ONE map-side-
@@ -2537,9 +2596,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (128-bit ExactSubstr + the NEW persisted-fingerprint path, the
     # epoch_micros hardening in fanout_mix, the applyInArrow tz
     # normalization re-attested via the flagship replay), then the
-    # least-recently-attested r1-r3 greens. With this window, every
-    # one of the 96 queries has had a driver CORRECTNESS row in some
-    # round. The rotated-out r4-green replay/streaming family keeps
+    # two queries NEW in round 5 (bm25_topk, canonical_url_dedup),
+    # then the least-recently-attested r1-r3 greens. With this window,
+    # every one of the 98 queries has had a driver CORRECTNESS row in
+    # some round. The rotated-out r4-green replay/streaming family keeps
     # its operator pytests AND the new tests/test_default_session.py
     # gate, which runs ALL queries against the oracle under a
     # default-config session every round.
@@ -2566,6 +2626,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fanout_mix": q_fanout_mix,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "cdc_replay_pages": q_cdc_replay_pages,
+        # -- NEW round 5: must sit inside the first-50 window to ever
+        # get a driver row (displaces the two window-tail entries
+        # multimodal_meta and corpus_sample_stratified, both of which
+        # carry prior driver greens — CORRECTNESS_r02/r04 — so the
+        # every-query-attested invariant holds) --
+        "bm25_topk": q_bm25_topk,
+        "canonical_url_dedup": q_canonical_url_dedup,
         # -- least-recently-attested (last driver row r3 or earlier) --
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -3068,6 +3135,106 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_dups,
                    sha256(text) AS text_hash
             FROM documents GROUP BY sha256(text)
+        """,
+        # BM25: identical formula, identical association order; the
+        # only cross-engine float risk (libm ln last-ulp, sum order) is
+        # absorbed by the e4 rounding; top-k cut + ties are integer.
+        "bm25_topk": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), '\s+') AS toks,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                     END AS dl
+              FROM documents
+            ), stats AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+              FROM base
+            ), tf AS (
+              SELECT doc_id, dl, token, CAST(count(*) AS DOUBLE) AS tf
+              FROM (SELECT doc_id, dl, unnest(toks) AS token FROM base)
+              WHERE token IN ('spark', 'merge', 'vector')
+              GROUP BY doc_id, dl, token
+            ), dfq AS (
+              SELECT token, CAST(count(*) AS DOUBLE) AS dfreq
+              FROM tf GROUP BY token
+            )
+            SELECT tf.doc_id AS doc_id,
+                   count(*) AS n_terms,
+                   CAST(round(sum(
+                     ln((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+                     * (tf * 2.2)
+                     / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                   ) * 10000.0, 0) AS BIGINT) AS bm25_e4
+            FROM tf JOIN dfq USING (token) CROSS JOIN stats
+            GROUP BY tf.doc_id
+            ORDER BY bm25_e4 DESC, doc_id
+            LIMIT 20
+        """,
+        # Canonical-URL dedup: the SQL re-runs the ruleset of
+        # functions/url.py verbatim (same regexes — no lookarounds, so
+        # Java regex and RE2 agree; DuckDB needs the 'g' flag where
+        # Spark's regexp_replace is all-occurrences by default).
+        "canonical_url_dedup": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     source || '.example.com' AS base,
+                     '/' || lang || '/Doc/' || CAST(doc_id AS VARCHAR) AS path,
+                     doc_id % 4 AS m,
+                     CAST(doc_id AS VARCHAR) AS sid
+              FROM documents
+            ), urls AS (
+              SELECT doc_id,
+                     'HTTPS://' || upper(base) || ':443' || path ||
+                       CASE m WHEN 0 THEN '?utm_source=feed&page=' || sid
+                              WHEN 1 THEN '/?gclid=zz1'
+                              WHEN 2 THEN '#frag-2'
+                              ELSE '/' END AS url
+              FROM d
+              UNION ALL
+              SELECT doc_id,
+                     'https://' || base || path ||
+                       CASE WHEN m = 0 THEN '?page=' || sid ELSE '' END AS url
+              FROM d
+            ), c1 AS (
+              SELECT doc_id, split_part(url, '#', 1) AS u FROM urls
+            ), c2 AS (
+              SELECT doc_id, u,
+                     regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*)', 1) AS head
+              FROM c1
+            ), c3 AS (
+              SELECT doc_id,
+                     regexp_replace(regexp_replace(lower(head),
+                         '^(https://[^/?#:]*):443$', '\1'),
+                         '^(http://[^/?#:]*):80$', '\1') AS head,
+                     substr(u, length(head) + 1) AS rest
+              FROM c2
+            ), c4 AS (
+              SELECT doc_id, head,
+                     split_part(rest, '?', 1) AS path,
+                     CASE WHEN strpos(rest, '?') > 0
+                          THEN substr(rest, strpos(rest, '?'))
+                          ELSE '' END AS query
+              FROM c3
+            ), c5 AS (
+              SELECT doc_id, head,
+                     CASE WHEN regexp_replace(path, '/+$', '') = ''
+                          THEN '/' ELSE regexp_replace(path, '/+$', '')
+                     END AS path,
+                     CASE WHEN q2 = '?' THEN '' ELSE q2 END AS query
+              FROM (
+                SELECT doc_id, head, path,
+                       regexp_replace(regexp_replace(query,
+                           '(utm_[a-z]+|gclid|fbclid)=[^&]*&', '', 'g'),
+                           '[?&](utm_[a-z]+|gclid|fbclid)=[^&]*$', '', 'g') AS q2
+                FROM c4
+              )
+            )
+            SELECT head || path || query AS canonical_url,
+                   count(*) AS n_variants,
+                   min(doc_id) AS keeper_id
+            FROM c5
+            GROUP BY 1
         """,
         "vocab_topk": r"""
             SELECT token, count(*) AS n

@@ -65,6 +65,9 @@ HEADLINE = [
     "exact_substring_dedup",
     "exact_substring_persisted",
     "fanout_mix",
+    # round-5 operators
+    "bm25_topk",
+    "canonical_url_dedup",
 ]
 
 #: In-run anchor for substrate-drift cancellation (VERDICT r4 item 7):
