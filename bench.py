@@ -68,6 +68,7 @@ HEADLINE = [
     # round-5 operators
     "bm25_topk",
     "canonical_url_dedup",
+    "bm25_indexed_replay",
 ]
 
 #: In-run anchor for substrate-drift cancellation (VERDICT r4 item 7):

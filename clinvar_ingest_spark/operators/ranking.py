@@ -33,7 +33,7 @@ Scale shape (100 TB corpus, handful of query terms):
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence, Tuple
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
@@ -113,3 +113,124 @@ def bm25_topk(
         )
     )
     return scored.orderBy(F.desc("bm25_e4"), F.asc("doc_id")).limit(k)
+
+
+def text_token_pairs(pages: DataFrame, text_col: str = "text", url_col: str = "url") -> DataFrame:
+    """Content tokenizer for :class:`operators.index.InvertedIndex`:
+    distinct (token, url) membership pairs from whitespace tokens of
+    ``text_col`` — the "swap in a text tokenizer" the index docstring
+    promises. Pure column expressions; distinct-pair output is exactly
+    the membership contract the index maintenance delta needs."""
+    return (
+        pages.select(
+            F.explode(tokens(F.col(text_col))).alias("token"),
+            F.col(url_col).alias("url"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+
+
+def bm25_topk_indexed(
+    index,
+    terms: Sequence[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "url",
+    stats: Optional[Tuple[float, float]] = None,
+) -> DataFrame:
+    """Top-``k`` BM25 using the maintained inverted index as the
+    retrieval side — the 100 TB query path.
+
+    Where :func:`bm25_topk` tokenizes the whole corpus per query (two
+    full scans), this reads the query terms' POSTING rows from the
+    index table (bucket-pruned: only index buckets holding a query
+    token are scanned), takes per-term document frequency directly
+    from ``size(urls)`` (postings are distinct membership, so that IS
+    df), and re-tokenizes ONLY the candidate documents — a left-semi
+    join on the posting union, co-located with the pages table's own
+    url bucketing. Query cost is ∝ candidate set, never corpus size.
+
+    ``stats``: optional precomputed ``(n_docs, avgdl)`` corpus
+    constants. When None they are computed with one column-pruned agg
+    pass — at production scale they come free from table-stat
+    manifests, which is the only remaining corpus-sized touch.
+
+    Capped ("too common to index", ``max_posting``) tokens have empty
+    postings and are skipped — the standard stopword rule; the brute
+    scorer would still count them, so compare the two only on uncapped
+    indexes.
+
+    Requires the index to be fresh (``indexed_snapshot ==`` current)
+    and built with a tokenizer whose membership matches whitespace
+    ``tokens()`` of ``text_col`` (:func:`text_token_pairs`); raises on
+    a stale index rather than silently scoring against old postings.
+    """
+    if not terms:
+        raise ValueError("bm25_topk_indexed needs at least one query term")
+    cur = index.engine.table.current_snapshot_id()
+    if index.indexed_snapshot_id() != cur:
+        raise ValueError(
+            f"index is stale (indexed={index.indexed_snapshot_id()!r}, "
+            f"current={cur!r}); call refresh() first"
+        )
+    term_lits = [str(t) for t in terms]
+
+    posts = index.read().filter(
+        F.col("token").isin(term_lits) & (F.size("urls") > 0)
+    )
+    # df per term = posting size; explode to the candidate pairs
+    cand_pairs = posts.select(
+        "token",
+        F.size("urls").cast("double").alias("dfreq"),
+        F.explode("urls").alias(id_col),
+    )
+    cand_ids = cand_pairs.select(id_col).distinct()
+
+    pages = index.engine.pages()
+    fwd = pages.join(cand_ids, on=id_col, how="left_semi").select(
+        F.col(id_col),
+        tokens(F.col(text_col)).alias("_toks"),
+        token_count(F.col(text_col)).alias("dl"),
+    )
+
+    if stats is None:
+        st = pages.agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            F.avg(token_count(F.col(text_col))).alias("avgdl"),
+        )
+    else:
+        n_docs, avgdl = stats
+        st = index.engine.spark.range(1).select(
+            F.lit(float(n_docs)).alias("n_docs"), F.lit(float(avgdl)).alias("avgdl")
+        )
+
+    tf = (
+        fwd.select(id_col, "dl", F.explode("_toks").alias("token"))
+        .filter(F.col("token").isin(term_lits))
+        .groupBy(id_col, "dl", "token")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+
+    scored = (
+        tf.join(F.broadcast(cand_pairs.select("token", "dfreq").distinct()), "token")
+        .crossJoin(F.broadcast(st))
+        .withColumn(
+            "idf",
+            F.log((F.col("n_docs") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5) + 1.0),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.sum("w") * 10000.0, 0).cast("long").alias("bm25_e4"),
+        )
+    )
+    return scored.orderBy(F.desc("bm25_e4"), F.asc(id_col)).limit(k)

@@ -79,3 +79,98 @@ def test_bm25_empty_terms_raises(spark):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+# ---------------------------------------------------------------- indexed
+
+def _text_engine_with_index(spark, tmp_path):
+    from clinvar_ingest_spark.engine import CdcEngine
+    from clinvar_ingest_spark.operators.index import InvertedIndex
+    from clinvar_ingest_spark.operators.ranking import text_token_pairs
+    from clinvar_ingest_spark.sources.changelog import (
+        ChangelogSpec,
+        generate_changelog,
+        write_changelog_parquet,
+    )
+
+    p = str(tmp_path / "cl.parquet")
+    write_changelog_parquet(
+        generate_changelog(ChangelogSpec(n_events=600, n_urls=80, seed=21)), p
+    )
+    eng = CdcEngine(spark, str(tmp_path / "pages"), n_buckets=8)
+    eng.replay(spark.read.parquet(p), batch_size=600)
+    idx = InvertedIndex(
+        eng, str(tmp_path / "index"), n_buckets=8, tokenizer=text_token_pairs
+    )
+    idx.refresh()
+    return eng, idx
+
+
+def test_bm25_indexed_equals_bruteforce(spark, tmp_path):
+    from clinvar_ingest_spark.operators.ranking import bm25_topk, bm25_topk_indexed
+
+    eng, idx = _text_engine_with_index(spark, tmp_path)
+    # pick real corpus terms at different frequencies, deterministically
+    freqs = (
+        idx.read()
+        .select("token", F.size("urls").alias("df"))
+        .orderBy(F.desc("df"), "token")
+        .collect()
+    )
+    terms = [freqs[0]["token"], freqs[len(freqs) // 2]["token"], freqs[-1]["token"]]
+
+    brute = bm25_topk(eng.pages(), terms, k=15, id_col="url").collect()
+    indexed = bm25_topk_indexed(idx, terms, k=15).collect()
+    assert [tuple(r) for r in indexed] == [tuple(r) for r in brute]
+
+
+def test_bm25_indexed_precomputed_stats_and_staleness(spark, tmp_path):
+    from clinvar_ingest_spark.functions.text import token_count
+    from clinvar_ingest_spark.operators.ranking import bm25_topk_indexed
+    from clinvar_ingest_spark.sources.changelog import (
+        ChangelogSpec,
+        generate_changelog,
+    )
+    import pytest as _pytest
+
+    eng, idx = _text_engine_with_index(spark, tmp_path)
+    term = idx.read().orderBy(F.desc(F.size("urls")), "token").first()["token"]
+
+    st = eng.pages().agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg(token_count(F.col("text"))).alias("a"),
+    ).first()
+    with_stats = bm25_topk_indexed(idx, [term], k=5, stats=(st["n"], st["a"])).collect()
+    without = bm25_topk_indexed(idx, [term], k=5).collect()
+    assert [tuple(r) for r in with_stats] == [tuple(r) for r in without]
+
+    # staleness: advance the engine without refreshing the index
+    extra = generate_changelog(ChangelogSpec(n_events=50, n_urls=80, seed=22))
+    extra["seq"] = extra["seq"] + 600
+    eng.replay(spark.createDataFrame(extra), batch_size=50)
+    with _pytest.raises(ValueError, match="stale"):
+        bm25_topk_indexed(idx, [term], k=5)
+
+
+def test_fixture_token_model_matches_extraction():
+    """The bm25_indexed_replay ORACLE models the extraction kernel's
+    token stream from the fixed page template as
+    [url] + body tokens + [self, index, footer, &, links] — assert the
+    model token-exact against extract_text_series so template drift in
+    the generator can never silently skew the oracle."""
+    import re
+
+    from clinvar_ingest_spark.functions.extract import extract_text_series
+    from clinvar_ingest_spark.sources.changelog import (
+        ChangelogSpec,
+        generate_changelog,
+    )
+
+    df = generate_changelog(ChangelogSpec(n_events=2000, n_urls=300, seed=42))
+    df = df[df.html.notna()]
+    text = extract_text_series(df.html)
+    for (_, row), t in zip(df.iterrows(), text):
+        body = re.search(rb"<p>(.*?)</p>", row.html, re.S).group(1).decode()
+        body = re.sub(r"<[^>]*>", "", body)
+        model = [row.url] + body.split() + ["self", "index", "footer", "&", "links"]
+        assert t.split() == model
