@@ -70,3 +70,51 @@ def test_entry_collapse_invariant(spark):
     # and keys are unique per doc: row count == documents count
     ndocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
     assert out.count() == ndocs
+
+
+def test_canonicalized_messy_changelog_replays_to_identical_state(spark, tmp_path):
+    """The north-rule integration: key-partitioned MERGE on url is only
+    correct if equivalent spellings hash to one key. Perturb every
+    event's url with a deterministic messy spelling (uppercase
+    authority / fragment / utm param / trailing slash by seq%4),
+    canonicalize in front of the engine, and the replayed table must be
+    bit-identical (state_hash incl. tombstones) to replaying the clean
+    changelog."""
+    from clinvar_ingest_spark.engine import CdcEngine
+    from clinvar_ingest_spark.sources.changelog import (
+        ChangelogSpec,
+        generate_changelog,
+    )
+
+    cl = spark.createDataFrame(
+        generate_changelog(ChangelogSpec(n_events=300, n_urls=50, seed=31))
+    )
+    head = F.regexp_extract(F.col("url"), r"^(https://[^/]+)", 1)
+    rest = F.substring(F.col("url"), F.length(head) + 1, F.lit(2**30))
+    mod = F.pmod(F.col("seq"), F.lit(4))
+    messy = (
+        F.when(mod == 0, F.concat(F.upper(head), F.lit(":443"), rest))
+        .when(mod == 1, F.concat(F.col("url"), F.lit("#frag")))
+        .when(mod == 2, F.concat(F.col("url"), F.lit("?utm_source=x")))
+        .otherwise(F.concat(F.col("url"), F.lit("/")))
+    )
+    messy_cl = cl.withColumn("url", messy)
+
+    # spelling-level sanity: canonical(messy) == original for every row
+    diff = (
+        messy_cl.select("seq", canonical_url(F.col("url")).alias("c"))
+        .join(cl.select("seq", "url"), "seq")
+        .filter(F.col("c") != F.col("url"))
+        .count()
+    )
+    assert diff == 0
+
+    eng_clean = CdcEngine(spark, str(tmp_path / "clean"), n_buckets=8)
+    eng_clean.replay(cl, batch_size=150)
+    eng_canon = CdcEngine(spark, str(tmp_path / "canon"), n_buckets=8)
+    eng_canon.replay(
+        messy_cl.withColumn("url", canonical_url(F.col("url"))), batch_size=150
+    )
+    assert eng_canon.state_hash(include_tombstones=True) == eng_clean.state_hash(
+        include_tombstones=True
+    )
