@@ -65,6 +65,12 @@ class AggViewSpec:
     group_cols: Sequence[str]
     measures: Sequence[tuple] = field(default_factory=lambda: [("n_rows", "count")])
 
+    #: ``group_cols=[]`` is a GLOBAL view: one row of corpus-level
+    #: totals (e.g. document count + summed doc length for BM25's
+    #: (N, avgdl)). Global aggregation always yields exactly one row,
+    #: so the delta join degenerates to a cross join and the apply
+    #: step to a union-sum — both handled below.
+
     def _aggs(self):
         out = []
         for m in self.measures:
@@ -124,7 +130,9 @@ def view_delta(engine, old_snapshot: str, new_snapshot: str, spec: AggViewSpec) 
     a_old = aggregate_full(old, spec).select(
         *gk, *[F.col(n).alias(f"_old_{n}") for n in spec.names]
     )
-    j = a_new.join(a_old, on=gk, how="full_outer")
+    # global view: both sides are exactly one row (global aggregation
+    # is never empty), so a cross join IS the full-outer join
+    j = a_new.crossJoin(a_old) if not gk else a_new.join(a_old, on=gk, how="full_outer")
     deltas = [
         (F.coalesce(F.col(f"_new_{n}"), F.lit(0)) - F.coalesce(F.col(f"_old_{n}"), F.lit(0)))
         .cast("long")
@@ -143,6 +151,19 @@ def apply_delta(view: DataFrame, delta: DataFrame, spec: AggViewSpec) -> DataFra
     """view ⊕ Δ: group-wise integer addition; groups whose row count
     returns to zero leave the view (COUNT-liveness rule)."""
     gk = list(spec.group_cols)
+    if not gk:
+        # global view: either side may hold 0 or 1 rows (the view row
+        # leaves when the count returns to zero, the delta row when all
+        # deltas cancel), so a join would lose the surviving side —
+        # fold by union-sum instead, which is total over both cases.
+        u = view.select(*spec.names).unionByName(delta.select(*spec.names))
+        merged = u.agg(
+            *[
+                F.coalesce(F.sum(n), F.lit(0)).cast("long").alias(n)
+                for n in spec.names
+            ]
+        )
+        return merged.filter(F.col(spec.count_name) > 0)
     v = view.select(*gk, *[F.col(n).alias(f"_v_{n}") for n in spec.names])
     d = delta.select(*gk, *[F.col(n).alias(f"_d_{n}") for n in spec.names])
     j = v.join(d, on=gk, how="full_outer")

@@ -131,6 +131,34 @@ def text_token_pairs(pages: DataFrame, text_col: str = "text", url_col: str = "u
     )
 
 
+#: SQL-expr mirror of functions.text.token_count (whitespace token
+#: count, 0 for blank) — usable as an AggViewSpec sum measure so the
+#: corpus doc-length total can be MAINTAINED from the CDC feed instead
+#: of recomputed. The '\\s+' doubling survives Spark SQL's string
+#: unescaping to reach the regex engine as \s+ (pytest-pinned equal to
+#: the Column form).
+DOC_LEN_SQL = (
+    "CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE size(split(trim(text), '\\\\s+')) END"
+)
+
+
+def corpus_stats_view(engine, root: str):
+    """A GLOBAL :class:`operators.ivm.MaterializedAggView` holding the
+    BM25 corpus constants — ``n_docs`` (live document count) and
+    ``sum_dl`` (summed whitespace-token doc length) — maintained from
+    changed buckets only. ``refresh()`` after each replay; pass the
+    view to :func:`bm25_topk_indexed` as ``stats_view`` and query-time
+    cost loses its last corpus-sized touch."""
+    from clinvar_ingest_spark.operators.ivm import AggViewSpec, MaterializedAggView
+
+    spec = AggViewSpec(
+        group_cols=[],
+        measures=[("n_docs", "count"), ("sum_dl", "sum", DOC_LEN_SQL)],
+    )
+    return MaterializedAggView(engine, spec, root)
+
+
 def bm25_topk_indexed(
     index,
     terms: Sequence[str],
@@ -140,6 +168,7 @@ def bm25_topk_indexed(
     text_col: str = "text",
     id_col: str = "url",
     stats: Optional[Tuple[float, float]] = None,
+    stats_view=None,
 ) -> DataFrame:
     """Top-``k`` BM25 using the maintained inverted index as the
     retrieval side — the 100 TB query path.
@@ -154,9 +183,12 @@ def bm25_topk_indexed(
     url bucketing. Query cost is ∝ candidate set, never corpus size.
 
     ``stats``: optional precomputed ``(n_docs, avgdl)`` corpus
-    constants. When None they are computed with one column-pruned agg
-    pass — at production scale they come free from table-stat
-    manifests, which is the only remaining corpus-sized touch.
+    constants. ``stats_view``: a :func:`corpus_stats_view` maintained
+    against the same engine — the constants then come from ONE stored
+    row (incrementally maintained from changed buckets, never a
+    corpus scan) and are freshness-checked like the index. When
+    neither is given they are computed with one column-pruned agg
+    pass, the only remaining corpus-sized touch.
 
     Capped ("too common to index", ``max_posting``) tokens have empty
     postings and are skipped — the standard stopword rule; the brute
@@ -196,6 +228,17 @@ def bm25_topk_indexed(
         token_count(F.col(text_col)).alias("dl"),
     )
 
+    if stats is None and stats_view is not None:
+        if stats_view.current_snapshot_id() != cur:
+            raise ValueError(
+                f"stats_view is stale (view={stats_view.current_snapshot_id()!r}, "
+                f"current={cur!r}); call refresh() first"
+            )
+        rows = stats_view.read().collect()  # global view: ≤ 1 row
+        if not rows or rows[0]["n_docs"] == 0:
+            raise ValueError("stats_view reports an empty corpus")
+        # integer sums < 2^53 ⇒ this division equals F.avg exactly
+        stats = (float(rows[0]["n_docs"]), rows[0]["sum_dl"] / rows[0]["n_docs"])
     if stats is None:
         st = pages.agg(
             F.count(F.lit(1)).cast("double").alias("n_docs"),

@@ -161,3 +161,40 @@ def test_crash_between_artifact_and_pointer_self_heals(spark, changelog, tmp_pat
     assert _as_dict(view.read()) == _as_dict(_recompute(eng))
     ptr = json.load(open(os.path.join(str(tmp_path / "view"), "_current.json")))
     assert ptr["snapshot_id"] == sid
+
+
+# ------------------------------------------------------------- global view
+
+GLOBAL_SPEC = AggViewSpec(
+    group_cols=[],
+    measures=[("n_pages", "count"), ("sum_seq", "sum", "_seq")],
+)
+
+
+def test_global_view_tracks_every_snapshot(spark, changelog, tmp_path):
+    """group_cols=[] — one row of corpus totals, maintained == recompute
+    at every hop (covers deletes shrinking the totals)."""
+    eng = CdcEngine(spark, str(tmp_path / "pages"), n_buckets=8)
+    view = MaterializedAggView(eng, GLOBAL_SPEC, str(tmp_path / "gview"))
+    for _ in eng.replay(changelog, batch_size=500):
+        view.refresh()
+        got = view.read().collect()
+        live = ~F.coalesce(F.col("_deleted"), F.lit(False))
+        want = aggregate_full(eng.read().filter(live), GLOBAL_SPEC).collect()
+        assert len(got) == len(want) == 1
+        assert tuple(got[0]) == tuple(want[0])
+        assert view.current_snapshot_id() == eng.table.current_snapshot_id()
+
+
+def test_global_view_lagged_single_hop(spark, changelog, tmp_path):
+    """A global view that lagged many commits refreshes in ONE delta hop
+    to the exact recompute."""
+    eng = CdcEngine(spark, str(tmp_path / "pages"), n_buckets=8)
+    view = MaterializedAggView(eng, GLOBAL_SPEC, str(tmp_path / "gview"))
+    batches = list(eng.replay(changelog.filter("seq < 500"), batch_size=500))
+    view.refresh()
+    eng.replay(changelog.filter("seq >= 500"), batch_size=500)  # 4 commits lag
+    view.refresh()
+    live = ~F.coalesce(F.col("_deleted"), F.lit(False))
+    want = aggregate_full(eng.read().filter(live), GLOBAL_SPEC).collect()
+    assert tuple(view.read().collect()[0]) == tuple(want[0])

@@ -174,3 +174,59 @@ def test_fixture_token_model_matches_extraction():
         body = re.sub(r"<[^>]*>", "", body)
         model = [row.url] + body.split() + ["self", "index", "footer", "&", "links"]
         assert t.split() == model
+
+
+def test_doc_len_sql_equals_token_count(spark):
+    """DOC_LEN_SQL (the AggViewSpec sum-measure mirror of token_count)
+    must agree with the Column form on edge shapes (blank, multi-space,
+    newline-separated)."""
+    from clinvar_ingest_spark.functions.text import token_count
+    from clinvar_ingest_spark.operators.ranking import DOC_LEN_SQL
+
+    df = spark.createDataFrame(
+        [("a b  c",), ("",), ("   ",), ("one\ntwo\tthree four",), ("x",)],
+        "text string",
+    )
+    bad = df.select(
+        token_count(F.col("text")).alias("a"), F.expr(DOC_LEN_SQL).alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    assert bad.count() == 0
+
+
+def test_bm25_indexed_with_maintained_stats_view(spark, tmp_path):
+    """corpus_stats_view: the (N, avgdl) constants come from the
+    maintained global IVM row — scoring must equal brute force, and a
+    stale view (engine advanced, view not refreshed) must raise."""
+    from clinvar_ingest_spark.operators.ranking import (
+        bm25_topk,
+        bm25_topk_indexed,
+        corpus_stats_view,
+    )
+    from clinvar_ingest_spark.sources.changelog import (
+        ChangelogSpec,
+        generate_changelog,
+    )
+
+    eng, idx = _text_engine_with_index(spark, tmp_path)
+    view = corpus_stats_view(eng, str(tmp_path / "stats"))
+    view.refresh()
+
+    terms = ["merge", "snapshot"]
+    brute = [tuple(r) for r in bm25_topk(eng.pages(), terms, k=10, id_col="url").collect()]
+    viewed = [
+        tuple(r) for r in bm25_topk_indexed(idx, terms, k=10, stats_view=view).collect()
+    ]
+    assert viewed == brute
+
+    extra = generate_changelog(ChangelogSpec(n_events=40, n_urls=80, seed=23))
+    extra["seq"] = extra["seq"] + 600
+    eng.replay(spark.createDataFrame(extra), batch_size=40)
+    idx.refresh()  # index fresh, view stale -> must still raise
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="stats_view is stale"):
+        bm25_topk_indexed(idx, terms, k=5, stats_view=view)
+    view.refresh()
+    again = bm25_topk_indexed(idx, terms, k=10, stats_view=view)
+    brute2 = bm25_topk(eng.pages(), terms, k=10, id_col="url")
+    assert [tuple(r) for r in again.collect()] == [tuple(r) for r in brute2.collect()]
