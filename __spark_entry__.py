@@ -977,6 +977,39 @@ def q_bm25_indexed_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk_indexed(idx, ["merge", "snapshot", "crawl"], k=20)
 
 
+def q_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained MinHash-LSH near-dup index (the CDC
+    answer to per-batch near-dup detection): replay the fixture into an
+    engine table, maintain the LSH band buckets as a derived lakelet
+    table (InvertedIndex machinery, band keys as tokens; initial build
+    + one changed-bucket delta hop), then PROBE the tail batch's live
+    docs against the indexed corpus — cost ∝ delta × bucket occupancy,
+    never a corpus self-join. The oracle recomputes LWW winners,
+    mirrors the extraction kernel's token stream (same pinned template
+    model as bm25_indexed_replay), rebuilds the identical md5-affine
+    MinHash bands in SQL, and restricts the band self-join to the probe
+    set — maintained-index probing == corpus-scan LSH, pair for pair."""
+    import tempfile
+
+    from clinvar_ingest_spark.engine import CdcEngine
+    from clinvar_ingest_spark.operators.dedupe_index import MinhashIndex
+
+    clp = _ensure_cdc_fixture()
+    tmp = tempfile.mkdtemp(prefix="mh_index_")
+    eng = CdcEngine(spark, os.path.join(tmp, "pages"), n_buckets=8)
+    cl = spark.read.parquet(clp)
+    idx = MinhashIndex(
+        eng, os.path.join(tmp, "index"), n_buckets=8, n=3, num_hashes=32, bands=16
+    )
+    eng.replay(cl.filter(F.col("seq") < 1000), batch_size=500)
+    idx.refresh()  # initial build
+    eng.replay(cl.filter(F.col("seq") >= 1000), batch_size=500)
+    idx.refresh()  # delta hop — only changed buckets re-MinHashed
+    tail_urls = cl.filter(F.col("seq") >= 1000).select("url").distinct()
+    probe = eng.live().join(tail_urls, "url", "left_semi")
+    return idx.probe(probe)
+
+
 def q_patch_lww_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-level LWW (patch-upsert fold): each profile field takes
     its value from the latest event that carried it — ONE map-side-
@@ -2663,13 +2696,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "cdc_replay_pages": q_cdc_replay_pages,
         # -- NEW round 5: must sit inside the first-50 window to ever
-        # get a driver row (displaces the three window-tail entries
-        # quality_gate, multimodal_meta and corpus_sample_stratified,
-        # all of which carry prior driver greens — CORRECTNESS_r02/r03/
-        # r04 — so the every-query-attested invariant holds) --
+        # get a driver row (displaces the four window-tail entries
+        # pii_scrub, quality_gate, multimodal_meta and
+        # corpus_sample_stratified, all of which carry prior driver
+        # greens — CORRECTNESS_r01/r03 — so the every-query-attested
+        # invariant holds) --
         "bm25_topk": q_bm25_topk,
         "canonical_url_dedup": q_canonical_url_dedup,
         "bm25_indexed_replay": q_bm25_indexed_replay,
+        "minhash_index_probe": q_minhash_index_probe,
         # -- least-recently-attested (last driver row r3 or earlier) --
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -4223,6 +4258,7 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY bm25_e4 DESC, url
         LIMIT 20
     """
+    out["minhash_index_probe"] = _minhash_index_probe_sql(num_hashes=32, bands=16)
     out["stream_sessions"] = f"""
         -- batch sessionization + the append-emission contract: every
         -- session closed by a successor, plus trailing sessions whose
@@ -4719,6 +4755,73 @@ bands AS (
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
 """
+
+
+def _minhash_index_probe_sql(num_hashes: int, bands: int, seed: int = 42) -> str:
+    """Oracle for the maintained MinHash-LSH index probe: LWW winners →
+    pinned template token stream (same model as bm25_indexed_replay) →
+    md5-affine MinHash bands → band self-join restricted to the probe
+    set (urls live at head with a tail event), self-matches excluded —
+    the corpus-scan computation of what the incrementally-maintained
+    index answers from its postings."""
+    from clinvar_ingest_spark.functions.xhash import (
+        MERSENNE31,
+        affine_params,
+        md5_long48_sql,
+    )
+
+    r = num_hashes // bands
+    params = affine_params(num_hashes, seed)
+    mins = ",\n         ".join(
+        f"min(({a} * x + {b}) % {MERSENNE31}) AS h{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT url, '{bi}:' || "
+        + " || ',' || ".join(f"CAST(h{bi * r + j} AS VARCHAR)" for j in range(r))
+        + " AS token FROM sig"
+        for bi in range(bands)
+    )
+    return rf"""
+        WITH win AS (
+          SELECT url, CAST(decode(html) AS VARCHAR) AS h FROM (
+            SELECT *, row_number() OVER (
+                     PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn
+            FROM read_parquet('{_ensure_cdc_fixture()}')
+          ) WHERE rn = 1 AND op <> 'delete'
+        ), base AS (
+          SELECT url,
+                 list_concat(list_concat(
+                   [url],
+                   string_split_regex(trim(regexp_replace(
+                     regexp_extract(h, '<p>(.*?)</p>', 1),
+                     '<[^>]*>', '', 'g')), '\s+')),
+                   ['self', 'index', 'footer', '&', 'links']
+                 ) AS toks
+          FROM win
+        ), sh AS (
+          SELECT url, unnest(list_distinct(list_transform(
+                   range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+          FROM base
+        ), hx AS (
+          SELECT url, {md5_long48_sql('shingle')} % {MERSENNE31} AS x FROM sh
+        ), sig AS (
+          SELECT url,
+                 {mins}
+          FROM hx GROUP BY url
+        ), bands AS (
+          {band_rows}
+        ), probe AS (
+          SELECT url FROM win WHERE url IN (
+            SELECT DISTINCT url FROM read_parquet('{_ensure_cdc_fixture()}')
+            WHERE seq >= 1000)
+        )
+        SELECT DISTINCT p.url AS probe_id, c.url AS match_url
+        FROM bands p
+        JOIN probe pr ON pr.url = p.url
+        JOIN bands c ON c.token = p.token AND c.url <> p.url
+    """
 
 
 def _simhash_pairs_sql(max_hamming: int) -> str:

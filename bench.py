@@ -69,6 +69,7 @@ HEADLINE = [
     "bm25_topk",
     "canonical_url_dedup",
     "bm25_indexed_replay",
+    "minhash_index_probe",
 ]
 
 #: In-run anchor for substrate-drift cancellation (VERDICT r4 item 7):

@@ -200,6 +200,42 @@ def minhash_signatures(
     )
 
 
+def minhash_band_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, band, bk) LSH band rows — one row per (doc, band), where
+    ``bk`` is the band's signature-slice key. Shared kernel of
+    :func:`minhash_lsh_pairs` (corpus self-join) and the maintained
+    :class:`~clinvar_ingest_spark.operators.dedupe_index.MinhashIndex`
+    (band rows as index tokens). ≤ ``bands`` rows per doc, so any
+    shuffle keyed on the output is corpus-size-linear."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    agg = _minhash_cols(df, text_col, id_col, n, num_hashes, seed)
+    return agg.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            ",", *[F.col(f"h{bi * r + j}").cast("string") for j in range(r)]
+                        ).alias("bk"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "b.band", "b.bk")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -217,25 +253,7 @@ def minhash_lsh_pairs(
     value concat — at production scale wrap it in xxhash64 to shrink
     the shuffle payload (changes no collisions beyond hash collisions).
     """
-    assert num_hashes % bands == 0
-    r = num_hashes // bands
-    agg = _minhash_cols(df, text_col, id_col, n, num_hashes, seed)
-    band_rows = agg.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.concat_ws(
-                            ",", *[F.col(f"h{bi * r + j}").cast("string") for j in range(r)]
-                        ).alias("bk"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("b"),
-    ).select("id", "b.band", "b.bk")
+    band_rows = minhash_band_rows(df, text_col, id_col, n, num_hashes, bands, seed)
     a = band_rows.select(F.col("id").alias("id_a"), "band", "bk")
     b = band_rows.select(F.col("id").alias("id_b"), "band", "bk")
     return (
