@@ -914,13 +914,21 @@ def q_canonical_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = F.concat(F.lit("/"), F.col("lang"), F.lit("/Doc/"), sid)
     mod = F.pmod(F.col("doc_id"), F.lit(4))
     messy_suffix = (
-        F.when(mod == 0, F.concat(F.lit("?utm_source=feed&page="), sid))
-        .when(mod == 1, F.lit("/?gclid=zz1"))
+        F.when(
+            mod == 0,
+            F.concat(F.lit("?utm_source=feed&utm_campaign=x&page="), sid),
+        )
+        # mod 1 is ADVERSARIAL: xgclid merely CONTAINS a tracking name
+        # and must survive; the gclid/utm_medium run between kept params
+        # must vanish (regression fixture for the unanchored-strip bug)
+        .when(mod == 1, F.lit("/?xgclid=7&gclid=zz1&utm_medium=a&b=2"))
         .when(mod == 2, F.lit("#frag-2"))
         .otherwise(F.lit("/"))
     )
-    clean_suffix = F.when(mod == 0, F.concat(F.lit("?page="), sid)).otherwise(
-        F.lit("")
+    clean_suffix = (
+        F.when(mod == 0, F.concat(F.lit("?page="), sid))
+        .when(mod == 1, F.lit("?xgclid=7&b=2"))
+        .otherwise(F.lit(""))
     )
     messy = d.select(
         "doc_id",
@@ -3258,15 +3266,17 @@ def oracle_sql() -> dict[str, str]:
             ), urls AS (
               SELECT doc_id,
                      'HTTPS://' || upper(base) || ':443' || path ||
-                       CASE m WHEN 0 THEN '?utm_source=feed&page=' || sid
-                              WHEN 1 THEN '/?gclid=zz1'
+                       CASE m WHEN 0 THEN '?utm_source=feed&utm_campaign=x&page=' || sid
+                              WHEN 1 THEN '/?xgclid=7&gclid=zz1&utm_medium=a&b=2'
                               WHEN 2 THEN '#frag-2'
                               ELSE '/' END AS url
               FROM d
               UNION ALL
               SELECT doc_id,
                      'https://' || base || path ||
-                       CASE WHEN m = 0 THEN '?page=' || sid ELSE '' END AS url
+                       CASE WHEN m = 0 THEN '?page=' || sid
+                            WHEN m = 1 THEN '?xgclid=7&b=2'
+                            ELSE '' END AS url
               FROM d
             ), c1 AS (
               SELECT doc_id, split_part(url, '#', 1) AS u FROM urls
@@ -3296,9 +3306,10 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN q2 = '?' THEN '' ELSE q2 END AS query
               FROM (
                 SELECT doc_id, head, path,
-                       regexp_replace(regexp_replace(query,
-                           '(utm_[a-z]+|gclid|fbclid)=[^&]*&', '', 'g'),
-                           '[?&](utm_[a-z]+|gclid|fbclid)=[^&]*$', '', 'g') AS q2
+                       regexp_replace(regexp_replace(regexp_replace(query,
+                           '\?(?:(?:utm_[a-z]+|gclid|fbclid)=[^&]*&)+', '?', 'g'),
+                           '&(?:(?:utm_[a-z]+|gclid|fbclid)=[^&]*&)+', '&', 'g'),
+                           '(?:[?&](?:utm_[a-z]+|gclid|fbclid)=[^&]*)+$', '', 'g') AS q2
                 FROM c4
               )
             )

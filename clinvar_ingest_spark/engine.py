@@ -592,21 +592,59 @@ class CdcEngine:
                 and hi > int(prior["partial_to"])
             ):
                 # heal a partially-committed range: apply ONLY the
-                # remainder under its own deterministic id, then advance
-                # (or clear) the original record's frontier. Crash
-                # between the two writes reconverges: the remainder id
-                # is committed, so the re-heal no-ops before the update.
-                cont_first = int(prior["partial_to"]) + 1
-                b = changelog.filter(
-                    (F.col("seq") >= cont_first) & (F.col("seq") <= last)
-                )
-                stats = self.apply_batch(
-                    b, cont_first, last,
-                    assume_all_buckets=all_buckets, partial_to=partial,
-                )
-                self.ledger.update(
-                    batch_id_for(first, last), partial_to=partial
-                )
+                # uncommitted remainder under its own deterministic id,
+                # then advance (or clear) the original record's frontier.
+                # The frontier walks the chain of COMMITTED remainder
+                # records instead of trusting this replay's hi: a
+                # crashed (or racing) healer may have committed a
+                # remainder that covers LESS than the now-delivered
+                # stream, and stamping our own hi over it would mark its
+                # tail complete without ever applying it (skip-and-lose).
+                frontier: int | None = int(prior["partial_to"])
+                while frontier is not None and frontier < min(last, hi):
+                    cont_first = frontier + 1
+                    rem = self.ledger.get(batch_id_for(cont_first, last))
+                    if rem is None:
+                        b = changelog.filter(
+                            (F.col("seq") >= cont_first)
+                            & (F.col("seq") <= last)
+                        )
+                        stats = self.apply_batch(
+                            b, cont_first, last,
+                            assume_all_buckets=all_buckets,
+                            partial_to=partial,
+                        )
+                        if stats is not None:
+                            out.append(stats)
+                            applied_since_compact += 1
+                            if (
+                                compact_every
+                                and applied_since_compact >= compact_every
+                            ):
+                                self.compact()
+                                applied_since_compact = 0
+                            frontier = partial
+                        else:
+                            # skip inside the apply (crash-repair or a
+                            # lost commit race): the committed record —
+                            # possibly another writer's, covering less
+                            # than our hi — holds the true frontier
+                            rem = self.ledger.get(
+                                batch_id_for(cont_first, last)
+                            )
+                            frontier = (
+                                rem.get("partial_to")
+                                if rem is not None
+                                else partial
+                            )
+                    else:
+                        # already committed by an earlier heal: adopt ITS
+                        # frontier (None = covered through last) and keep
+                        # walking — the next lap applies whatever is left
+                        frontier = rem.get("partial_to")
+                    self.ledger.update(
+                        batch_id_for(first, last), partial_to=frontier
+                    )
             else:
                 b = changelog.filter(
                     (F.col("seq") >= first) & (F.col("seq") <= last)
@@ -615,12 +653,12 @@ class CdcEngine:
                     b, first, last,
                     assume_all_buckets=all_buckets, partial_to=partial,
                 )
-            if stats is not None:
-                out.append(stats)
-                applied_since_compact += 1
-                if compact_every and applied_since_compact >= compact_every:
-                    self.compact()
-                    applied_since_compact = 0
+                if stats is not None:
+                    out.append(stats)
+                    applied_since_compact += 1
+                    if compact_every and applied_since_compact >= compact_every:
+                        self.compact()
+                        applied_since_compact = 0
         if compact_every and applied_since_compact:
             self.compact()
         return out

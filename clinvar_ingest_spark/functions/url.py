@@ -27,10 +27,18 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
-#: tracking params dropped by rule 4 — anchored alternation, no
-#: lookarounds, so the same pattern runs under Java regex (Spark) and
-#: RE2 (DuckDB with the 'g' flag).
-TRACKING_RE = r"(utm_[a-z]+|gclid|fbclid)"
+#: tracking params dropped by rule 4 — plain alternation, no
+#: lookarounds or backreferences, so the same pattern runs identically
+#: under Java regex (Spark) and RE2 (DuckDB with the 'g' flag).
+TRACKING_RE = r"(?:utm_[a-z]+|gclid|fbclid)"
+
+#: one-or-more consecutive "<tracking>=<v>&" pairs. The enclosing rules
+#: anchor this to a literal '?' or '&' so a param whose NAME merely
+#: contains a tracking name (e.g. ``xgclid``, ``custom_utm_source``) is
+#: never touched; the + consumes runs in one scan because the regex
+#: cursor resumes AFTER the kept delimiter, which would hide the next
+#: pair's anchor from a single-pair pattern.
+_TRACKING_RUN = r"(?:" + TRACKING_RE + r"=[^&]*&)+"
 
 
 def canonical_url(col: Column) -> Column:
@@ -50,10 +58,18 @@ def canonical_url(col: Column) -> Column:
         F.instr(rest, "?") > 0,
         F.substring(rest, F.instr(rest, "?"), F.lit(2**30)),
     ).otherwise(F.lit(""))
-    # 4. tracking params out: "p=v&" pairs first, then a trailing
-    #    "?p=v" / "&p=v", then a dangling lone '?'
-    query = F.regexp_replace(query, TRACKING_RE + r"=[^&]*&", "")
-    query = F.regexp_replace(query, r"[?&]" + TRACKING_RE + r"=[^&]*$", "")
+    # 4. tracking params out — every rule anchors the param NAME to a
+    #    preceding '?' or '&' (an unanchored "gclid=..." would also hit
+    #    params merely CONTAINING a tracking name, e.g. "xgclid",
+    #    merging distinct pages into one canonical key): runs of
+    #    "p=v&" pairs after '?' / after '&' (delimiter kept, no
+    #    backreference so Spark and RE2 agree), then trailing
+    #    "?p=v"/"&p=v" runs, then a dangling lone '?'
+    query = F.regexp_replace(query, r"\?" + _TRACKING_RUN, "?")
+    query = F.regexp_replace(query, r"&" + _TRACKING_RUN, "&")
+    query = F.regexp_replace(
+        query, r"(?:[?&]" + TRACKING_RE + r"=[^&]*)+$", ""
+    )
     query = F.when(query == "?", F.lit("")).otherwise(query)
     # 5. trailing slashes off a non-root path; empty path -> '/'
     path = F.regexp_replace(path, r"/+$", "")

@@ -226,6 +226,46 @@ def test_partial_heal_crash_between_commit_and_frontier_update(
     assert e.table.history() == hist  # remainder was NOT re-merged
 
 
+def test_partial_heal_crash_then_log_grows_past_crashed_remainder(
+    spark, changelog_df, tmp_path
+):
+    """Crash window inside the heal AND the log grows across it: the
+    committed remainder covers LESS than the re-heal's delivered stream.
+    The re-heal must adopt the committed remainder's OWN frontier and
+    apply the still-missing tail — stamping the fresh hi over the grid
+    record would mark seq ranges complete that nobody ever applied
+    (silent event loss)."""
+    from clinvar_ingest_spark.streaming.ledger import batch_id_for
+
+    ref = CdcEngine(spark, str(tmp_path / "ref"), n_buckets=8)
+    ref.replay(changelog_df.filter("seq < 1000"), batch_size=500)
+    want = ref.state_hash(include_tombstones=True)
+
+    e = CdcEngine(spark, str(tmp_path / "t"), n_buckets=8)
+    e.replay(changelog_df.filter("seq < 750"), batch_size=500)
+    # heal at hi=849 commits remainder id (750,999) with partial_to=849,
+    # then crashes BEFORE advancing the grid record's frontier
+    rem = changelog_df.filter("seq >= 750 AND seq < 850")
+    assert e.apply_batch(rem, 750, 999, partial_to=849) is not None
+    assert e.ledger.get(batch_id_for(750, 999))["partial_to"] == 849
+    assert e.ledger.get(batch_id_for(500, 999))["partial_to"] == 749  # stale
+
+    # the log grows to 999 and the replay re-runs: the heal must walk
+    # 749 → 849 (committed remainder's frontier) → apply (850,999)
+    e.replay(changelog_df.filter("seq < 1000"), batch_size=500)
+    assert e.ledger.get(batch_id_for(500, 999))["partial_to"] is None
+    assert e.ledger.is_committed(batch_id_for(850, 999))
+    assert e.ledger.last_applied_seq() == 999
+    # events 850-999 actually landed: final state == clean full replay
+    assert e.state_hash(include_tombstones=True) == want
+
+    # idempotent: one more replay over the same log changes nothing
+    hist = e.table.history()
+    assert e.replay(changelog_df.filter("seq < 1000"), batch_size=500) == []
+    assert e.table.history() == hist
+    assert e.state_hash(include_tombstones=True) == want
+
+
 def test_shrunk_redelivery_is_noop(spark, changelog_df, tmp_path):
     """Redelivering LESS than previously seen (replayer restarted from an
     older segment) must not regress the frontier or re-merge anything."""

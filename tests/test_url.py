@@ -27,6 +27,17 @@ CASES = [
     ("https://a.com/x?a=1&gclid=g&b=2", "https://a.com/x?a=1&b=2"),
     ("https://a.com/x?utm_a=1&utm_b=2", "https://a.com/x"),
     ("https://a.com/x?fbclid=z", "https://a.com/x"),
+    # rule 4 anchoring: a param whose NAME merely contains a tracking
+    # name is NOT a tracking param (regression: the unanchored strip
+    # turned ?xgclid=2&b=3 into ?xb=3, merging distinct pages)
+    ("https://a.com/x?xgclid=2&b=3", "https://a.com/x?xgclid=2&b=3"),
+    ("https://a.com/x?custom_utm_source=1", "https://a.com/x?custom_utm_source=1"),
+    ("https://a.com/x?a=1&xfbclid=9", "https://a.com/x?a=1&xfbclid=9"),
+    # rule 4 runs: consecutive tracking params vanish wherever they sit
+    ("https://a.com/x?utm_a=1&gclid=2&page=3", "https://a.com/x?page=3"),
+    ("https://a.com/x?a=1&utm_b=2&fbclid=3&b=4", "https://a.com/x?a=1&b=4"),
+    ("https://a.com/x?a=1&utm_b=2&utm_c=3", "https://a.com/x?a=1"),
+    ("https://a.com/x?xgclid=7&gclid=z&utm_m=a&b=2", "https://a.com/x?xgclid=7&b=2"),
     # rule 5: trailing slash off a non-root path; empty path -> '/'
     ("https://a.com/x/", "https://a.com/x"),
     ("https://a.com/x///", "https://a.com/x"),
