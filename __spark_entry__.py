@@ -1686,9 +1686,30 @@ def q_exact_substring_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    fp_dir = os.path.join(
-        tempfile.gettempdir(), f"substr_fps_{abs(hash(sf_dir)) % 10**8}"
-    )
+    # cache key = path + fixture content signature (mtime+size), hashed
+    # with md5: stable across processes (unlike builtin hash under
+    # per-process PYTHONHASHSEED) and invalidated when the fixture is
+    # regenerated — a stale cache would score current docs against
+    # another corpus's fingerprints
+    import hashlib
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        if os.path.isdir(src):
+            sig = ";".join(
+                f"{f}:{os.stat(os.path.join(src, f)).st_mtime_ns}"
+                f":{os.stat(os.path.join(src, f)).st_size}"
+                for f in sorted(os.listdir(src))
+            )
+        else:
+            st = os.stat(src)
+            sig = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        sig = "unknown"
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{sig}".encode()
+    ).hexdigest()[:16]
+    fp_dir = os.path.join(tempfile.gettempdir(), f"substr_fps_{key}")
     if not os.path.exists(os.path.join(fp_dir, "_SUCCESS")):
         substr_fingerprints(docs, window=8).write.mode("overwrite").parquet(fp_dir)
     fps = spark.read.parquet(fp_dir)

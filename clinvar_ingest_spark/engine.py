@@ -98,18 +98,37 @@ def _pinned_shuffle(spark: SparkSession, n_partitions: int):
             }
         st["count"] += 1
         try:
-            base = int(st["saved"]["spark.sql.shuffle.partitions"])
-        except (TypeError, ValueError):
-            base = 0
-        # never pin BELOW the session's own setting: the join
-        # strategy's LWW shuffle hashes on url (not bucket) and can use
-        # more partitions than buckets; bucket shuffles leave the
-        # excess empty. Concurrent pins take the max of their requests.
-        want = max(n_partitions, base, st["pinned_parts"])
-        if want != st["pinned_parts"]:
-            st["pinned_parts"] = want
-            conf.set("spark.sql.shuffle.partitions", str(want))
-        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+            try:
+                base = int(st["saved"]["spark.sql.shuffle.partitions"])
+            except (TypeError, ValueError):
+                base = 0
+            # never pin BELOW the session's own setting: the join
+            # strategy's LWW shuffle hashes on url (not bucket) and can
+            # use more partitions than buckets; bucket shuffles leave
+            # the excess empty. Concurrent pins take the max of their
+            # requests.
+            want = max(n_partitions, base, st["pinned_parts"])
+            if want != st["pinned_parts"]:
+                st["pinned_parts"] = want
+                conf.set("spark.sql.shuffle.partitions", str(want))
+            conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        except BaseException:
+            # a failed conf round-trip (stopped session, py4j hiccup)
+            # raises BEFORE the yield, so the finally-side decrement
+            # below never runs — roll the refcount back here or the
+            # entry is stranded >0 and the session stays pinned forever
+            st["count"] -= 1
+            if st["count"] == 0:
+                _PIN_STATE.pop(key, None)
+                for k, v in st["saved"].items():
+                    try:
+                        if v is None:
+                            conf.unset(k)
+                        else:
+                            conf.set(k, v)
+                    except Exception:
+                        pass
+            raise
     try:
         yield
     finally:

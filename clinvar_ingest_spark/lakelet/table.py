@@ -1308,7 +1308,6 @@ class LakeletTable:
         pre_partitioned: bool = False,
         expected_parent_id: str | None = None,
         mor_order: Sequence[str] = ("warc_ts", "_seq"),
-        write_partitions: int | None = None,
     ) -> str:
         """Merge-on-read commit: APPEND ``delta_rows`` (full new row
         versions / tombstones, with a ``_bucket`` column and the current
@@ -1352,15 +1351,13 @@ class LakeletTable:
             delta_rows = delta_rows.withColumn("_deleted", F.lit(False))
         to_write = delta_rows.select("_bucket", *cols)
         if not pre_partitioned:
-            # default width = touched buckets. Callers MAY narrow via
-            # write_partitions (hash partitioning by _bucket keeps each
-            # bucket whole in one task, so it stays one file per
-            # bucket) — but note the write stage usually carries the
-            # upstream Python/Arrow eval (ExtractPythonUDFs places it
-            # above this exchange), so narrowing serializes compute,
-            # not just parquet encode; measured 1.7x slower per hot
-            # batch at width=1 (PLANS.md "MOR hot-batch apply").
-            width = write_partitions or max(len(touched_buckets), 1)
+            # width = touched buckets, deliberately NOT narrower: the
+            # write stage usually carries the upstream Python/Arrow
+            # eval (ExtractPythonUDFs places it above this exchange),
+            # so narrowing would serialize compute, not just parquet
+            # encode — measured 1.7x slower per hot batch at width=1
+            # (PLANS.md "MOR hot-batch apply").
+            width = max(len(touched_buckets), 1)
             to_write = to_write.repartition(width, "_bucket")
         self._writer(to_write).partitionBy("_bucket").parquet(staging)
 

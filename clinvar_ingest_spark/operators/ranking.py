@@ -41,6 +41,54 @@ from pyspark.sql.window import Window
 from clinvar_ingest_spark.functions.text import token_count, tokens
 
 
+def _dl_from_toks(toks):
+    """``token_count`` derived from an already-split token array —
+    guarantees ONE tokenization per row without leaning on codegen
+    subexpression elimination. ``split(trim(''))`` yields ``['']``,
+    exactly token_count's blank→0 case; NULL propagates identically."""
+    return F.when(
+        (F.size(toks) == 1) & (F.element_at(toks, 1) == ""), F.lit(0)
+    ).otherwise(F.size(toks))
+
+
+def _score_topk(
+    tf_with_dfreq: DataFrame,
+    stats_df: DataFrame,
+    k1: float,
+    b: float,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Shared BM25 scoring tail — idf, per-(doc,term) weight, e4-rounded
+    sum, deterministic top-k cut. The formula lives ONCE so the brute
+    and index-backed paths cannot drift apart (their row-for-row
+    agreement is pytest-pinned). Input: (id_col, dl, token, tf, dfreq)
+    rows; ``stats_df`` one (n_docs, avgdl) row, broadcast."""
+    scored = (
+        tf_with_dfreq.crossJoin(F.broadcast(stats_df))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("dfreq") + 0.5)
+                / (F.col("dfreq") + 0.5)
+                + 1.0
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.sum("w") * 10000.0, 0).cast("long").alias("bm25_e4"),
+        )
+    )
+    return scored.orderBy(F.desc("bm25_e4"), F.asc(id_col)).limit(k)
+
+
 def bm25_topk(
     docs: DataFrame,
     terms: Sequence[str],
@@ -65,8 +113,7 @@ def bm25_topk(
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         tokens(F.col(text_col)).alias("_toks"),
-        token_count(F.col(text_col)).alias("dl"),
-    )
+    ).select("doc_id", "_toks", _dl_from_toks(F.col("_toks")).alias("dl"))
 
     # ONE aggregate row with the corpus constants, broadcast to every
     # matched row — cheaper than two scalar subqueries and keeps the
@@ -91,28 +138,11 @@ def bm25_topk(
     # avgdl come free from table-stat manifests and it drops to once).
     dfreq_w = Window.partitionBy("token")
 
-    scored = (
-        tf.withColumn(
-            "dfreq", F.count(F.lit(1)).over(dfreq_w).cast("double")
-        )
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "idf",
-            F.log((F.col("n_docs") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5) + 1.0),
-        )
-        .withColumn(
-            "w",
-            F.col("idf")
-            * (F.col("tf") * (k1 + 1.0))
-            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_terms"),
-            F.round(F.sum("w") * 10000.0, 0).cast("long").alias("bm25_e4"),
-        )
+    return _score_topk(
+        tf.withColumn("dfreq", F.count(F.lit(1)).over(dfreq_w).cast("double")),
+        stats,
+        k1, b, "doc_id", k,
     )
-    return scored.orderBy(F.desc("bm25_e4"), F.asc("doc_id")).limit(k)
 
 
 def text_token_pairs(pages: DataFrame, text_col: str = "text", url_col: str = "url") -> DataFrame:
@@ -222,10 +252,10 @@ def bm25_topk_indexed(
     cand_ids = cand_pairs.select(id_col).distinct()
 
     pages = index.engine.pages()
-    fwd = pages.join(cand_ids, on=id_col, how="left_semi").select(
-        F.col(id_col),
-        tokens(F.col(text_col)).alias("_toks"),
-        token_count(F.col(text_col)).alias("dl"),
+    fwd = (
+        pages.join(cand_ids, on=id_col, how="left_semi")
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .select(id_col, "_toks", _dl_from_toks(F.col("_toks")).alias("dl"))
     )
 
     if stats is None and stats_view is not None:
@@ -257,23 +287,10 @@ def bm25_topk_indexed(
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
     )
 
-    scored = (
-        tf.join(F.broadcast(cand_pairs.select("token", "dfreq").distinct()), "token")
-        .crossJoin(F.broadcast(st))
-        .withColumn(
-            "idf",
-            F.log((F.col("n_docs") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5) + 1.0),
-        )
-        .withColumn(
-            "w",
-            F.col("idf")
-            * (F.col("tf") * (k1 + 1.0))
-            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
-        )
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_terms"),
-            F.round(F.sum("w") * 10000.0, 0).cast("long").alias("bm25_e4"),
-        )
+    return _score_topk(
+        tf.join(
+            F.broadcast(cand_pairs.select("token", "dfreq").distinct()), "token"
+        ),
+        st,
+        k1, b, id_col, k,
     )
-    return scored.orderBy(F.desc("bm25_e4"), F.asc(id_col)).limit(k)

@@ -87,7 +87,19 @@ class Ledger:
 
     def update(self, batch_id: str, **fields) -> None:
         """Atomically rewrite named fields of a committed record (used
-        to advance/clear ``partial_to`` after a remainder heal)."""
+        to advance/clear ``partial_to`` after a remainder heal).
+
+        Concurrency contract: the write itself is atomic (tmp+rename)
+        but the read-modify-write is NOT locked across writers. That is
+        safe for the one field replay() updates — ``partial_to`` —
+        because every value written is derived from COMMITTED remainder
+        records (the heal walks the chain in replay(), never stamps its
+        own delivered hi over a skip), so a lost race can only leave the
+        frontier CONSERVATIVELY stale: the next replay re-walks the
+        committed chain and converges, and apply_batch's per-id ledger
+        short-circuit keeps re-walks exactly-once. Callers adding new
+        update() uses must preserve this derive-from-committed-state
+        property or add locking."""
         rec = self.get(batch_id)
         if rec is None:
             raise KeyError(f"no ledger record for batch {batch_id}")

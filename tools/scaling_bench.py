@@ -246,6 +246,20 @@ def main() -> None:
         )
 
     n_buckets = args.n_buckets or max(32, 4 * max(args.n, args.xn))
+    if args.via_submit and (
+        args.strategy != "cogroup"
+        or args.kernel != "python"
+        or args.slots_per_core != 1
+    ):
+        # run_level_submit launches jobs/cdc_apply.py with the default
+        # engine config; silently dropping these flags would stamp a
+        # strategy/kernel column into the result JSON that was never
+        # actually measured
+        ap.error(
+            "--via-submit supports only the default engine config "
+            "(--strategy cogroup --kernel python --slots-per-core 1); "
+            "use the in-process runner for strategy/kernel A/Bs"
+        )
     if args.via_submit:
         subprocess.run(
             [sys.executable, os.path.join(REPO, "tools", "build_pyfiles.py")],
