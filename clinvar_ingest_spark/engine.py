@@ -136,12 +136,24 @@ def _pinned_shuffle(spark: SparkSession, n_partitions: int):
             st = _PIN_STATE[key]
             st["count"] -= 1
             if st["count"] == 0:
-                for k, v in st["saved"].items():
-                    if v is None:
-                        conf.unset(k)
-                    else:
-                        conf.set(k, v)
-                del _PIN_STATE[key]
+                # best-effort restore: a conf round-trip failing here
+                # (session stopped mid-batch) must neither mask the
+                # body's result/exception nor strand a count=0 entry
+                # whose stale 'saved' values a later pin (or a reused
+                # id() after GC) would inherit
+                try:
+                    for k, v in st["saved"].items():
+                        try:
+                            if v is None:
+                                conf.unset(k)
+                            else:
+                                conf.set(k, v)
+                        except Exception as e:
+                            logger.warning(
+                                "could not restore %s after unpin: %s", k, e
+                            )
+                finally:
+                    del _PIN_STATE[key]
 
 
 class CdcEngine:
@@ -250,6 +262,18 @@ class CdcEngine:
             # from the row position (operators/merge_cells.py)
             cols = PAGES_COLUMNS + [ColumnSpec(9, "_cells", "string")]
         self.table = LakeletTable.create(root, cols, n_buckets=n_buckets)
+        actual_buckets = self.table.manifest().n_buckets
+        if actual_buckets != n_buckets:
+            # create() is idempotent and returns the EXISTING table —
+            # the argument does not resize anything (grow_buckets does).
+            # Say so instead of letting the caller believe they raised
+            # bucket granularity.
+            logger.warning(
+                "table at %s already exists with n_buckets=%d; the "
+                "requested n_buckets=%d is ignored (use "
+                "table.grow_buckets() to change partitioning)",
+                root, actual_buckets, n_buckets,
+            )
         if patch_ops and not any(
             c.name == "_cells" for c in self.table.manifest().columns
         ):
@@ -329,6 +353,12 @@ class CdcEngine:
         from clinvar_ingest_spark.retry import with_retries
 
         bid = batch_id_for(first_seq, last_seq)
+        if self.ledger.is_committed(bid):
+            # fast path for resume-from-zero replays over a long
+            # committed prefix: one os.path.exists per skipped batch,
+            # no manifest read and no conf pinning. _apply_batch_once
+            # re-checks under the pin for the racing-writer window.
+            return None
 
         def _log_retry(attempt: int, err: BaseException, delay: float) -> None:
             # transient commit errors are retried, not swallowed: every
@@ -400,6 +430,23 @@ class CdcEngine:
             # last batch_id; if the branch's first aligned batch shares
             # that id (fork cut mid-range), the branch never applied it —
             # fall through and merge (LWW makes any overlap a no-op).
+            #
+            # Frontier: the crashed commit stamped ITS delivered
+            # frontier into the manifest summary (apply_partial_to,
+            # atomic with the commit). The repairing caller's own
+            # partial_to may reflect a LATER delivery — stamping it
+            # would mark events complete the crashed apply never merged
+            # (skip-and-lose); the fallback to the caller's value only
+            # covers pre-stamp legacy snapshots.
+            if "apply_partial_to" in cur.summary:
+                repaired_to = cur.summary["apply_partial_to"]
+            else:  # pragma: no cover - tables written before the stamp
+                logger.warning(
+                    "repairing ledger for batch %s from a pre-stamp "
+                    "snapshot: trusting this replay's frontier %r",
+                    batch_id, partial_to,
+                )
+                repaired_to = partial_to
             self.ledger.record(
                 LineageRecord(
                     batch_id=batch_id,
@@ -409,7 +456,7 @@ class CdcEngine:
                     n_events=0, n_inserts=0, n_updates=0, n_deletes=0,
                     touched_buckets=0, watermark=None,
                     wall_secs=0.0, events_per_sec=0.0,
-                    partial_to=partial_to,
+                    partial_to=repaired_to,
                 )
             )
             return None
@@ -439,6 +486,7 @@ class CdcEngine:
             stats = merge_apply_cells(
                 self.spark, self.table, batch, batch_id,
                 assume_all_buckets=assume_all_buckets,
+                partial_to=partial_to,
             )
         elif self.write_mode == "mor":
             from clinvar_ingest_spark.operators.merge import (
@@ -451,6 +499,7 @@ class CdcEngine:
                     self.spark, self.table, batch, batch_id,
                     extract_kernel=self.extract_kernel,
                     assume_all_buckets=assume_all_buckets,
+                    partial_to=partial_to,
                 )
             except MorCarryoverRequired:
                 stats = None  # fall through to a COW apply of this batch
@@ -463,11 +512,13 @@ class CdcEngine:
                 stats = merge_apply_cogrouped(
                     self.spark, self.table, batch, batch_id,
                     assume_all_buckets=assume_all_buckets,
+                    partial_to=partial_to,
                 )
             else:
                 stats = merge_apply(
                     self.spark, self.table, batch, batch_id,
                     extract_kernel=self.extract_kernel,
+                    partial_to=partial_to,
                 )
         wall = time.time() - t0
 
@@ -597,14 +648,65 @@ class CdcEngine:
         hi = int(bounds["hi"])
         out: list[MergeStats] = []
         start = lo - (lo % batch_size)
-        # events ≫ buckets ⇒ every bucket is statistically touched; skip
-        # the per-batch touched-buckets job (see merge_apply_cogrouped)
-        all_buckets = batch_size >= 50 * self.table.manifest().n_buckets
+        n_buckets = self.table.manifest().n_buckets
         applied_since_compact = 0
+
+        def _all_buckets(n_delivered: int) -> bool:
+            # events ≫ buckets ⇒ every bucket is statistically touched;
+            # skip the per-batch touched-buckets job (see
+            # merge_apply_cogrouped). Sized from the ACTUAL delivered
+            # sub-range, not the nominal grid width: a 10-event tail
+            # batch or heal remainder must never trigger a full-table
+            # COW rewrite just because batch_size is large.
+            return n_delivered >= 50 * n_buckets
+
+        def _deferred_compact() -> None:
+            # a concurrent writer landing between our apply and this
+            # compaction makes the fold's CAS lose — that must defer
+            # the compaction to the next cadence, not abort the replay
+            # mid-changelog (apply_batch already retries ITS conflicts;
+            # compaction is pure maintenance and re-runnable any time)
+            from clinvar_ingest_spark.lakelet.table import (
+                CommitConflictError,
+            )
+
+            try:
+                self.compact()
+            except CommitConflictError as e:
+                logger.warning(
+                    "deferring compaction after commit conflict: %s", e
+                )
+
+        def _account(stats) -> None:
+            nonlocal applied_since_compact
+            out.append(stats)
+            applied_since_compact += 1
+            if compact_every and applied_since_compact >= compact_every:
+                _deferred_compact()
+                applied_since_compact = 0
+
         for first in range(start, hi + 1, batch_size):
             last = first + batch_size - 1
             partial = hi if last > hi else None
             prior = self.ledger.get(batch_id_for(first, last))
+            if prior is None:
+                b = changelog.filter(
+                    (F.col("seq") >= first) & (F.col("seq") <= last)
+                )
+                stats = self.apply_batch(
+                    b, first, last,
+                    assume_all_buckets=_all_buckets(min(last, hi) - first + 1),
+                    partial_to=partial,
+                )
+                if stats is not None:
+                    _account(stats)
+                else:
+                    # skip inside the apply: a crash-repair or a
+                    # competing writer just materialized the record —
+                    # re-read it so a frontier short of our delivered hi
+                    # is healed NOW (below), not silently deferred to
+                    # some future replay while later batches land
+                    prior = self.ledger.get(batch_id_for(first, last))
             if (
                 prior is not None
                 and prior.get("partial_to") is not None
@@ -630,18 +732,13 @@ class CdcEngine:
                         )
                         stats = self.apply_batch(
                             b, cont_first, last,
-                            assume_all_buckets=all_buckets,
+                            assume_all_buckets=_all_buckets(
+                                min(last, hi) - cont_first + 1
+                            ),
                             partial_to=partial,
                         )
                         if stats is not None:
-                            out.append(stats)
-                            applied_since_compact += 1
-                            if (
-                                compact_every
-                                and applied_since_compact >= compact_every
-                            ):
-                                self.compact()
-                                applied_since_compact = 0
+                            _account(stats)
                             frontier = partial
                         else:
                             # skip inside the apply (crash-repair or a
@@ -664,22 +761,8 @@ class CdcEngine:
                     self.ledger.update(
                         batch_id_for(first, last), partial_to=frontier
                     )
-            else:
-                b = changelog.filter(
-                    (F.col("seq") >= first) & (F.col("seq") <= last)
-                )
-                stats = self.apply_batch(
-                    b, first, last,
-                    assume_all_buckets=all_buckets, partial_to=partial,
-                )
-                if stats is not None:
-                    out.append(stats)
-                    applied_since_compact += 1
-                    if compact_every and applied_since_compact >= compact_every:
-                        self.compact()
-                        applied_since_compact = 0
         if compact_every and applied_since_compact:
-            self.compact()
+            _deferred_compact()
         return out
 
     # ------------------------------------------------------------------ reads
@@ -925,8 +1008,13 @@ class CdcEngine:
             "counts": counts,
         }
         sink = notify_sink or FileNotifySink(out_dir)
-        sink.send(msg)
-        sink.close()
+        try:
+            sink.send(msg)
+        finally:
+            # a rejected notify must not leak the producer/file handle
+            # (the export itself already landed; the caller may retry
+            # the notify with a fresh sink)
+            sink.close()
         return msg
 
     # ---------------------------------------------------------------- lineage
@@ -952,7 +1040,7 @@ class CdcEngine:
             "last_seq long, n_events long, n_inserts long, n_updates long, "
             "n_deletes long, touched_buckets long, watermark string, "
             "wall_secs double, events_per_sec double, mode string, "
-            "n_upserts long, engine_version string, "
+            "n_upserts long, n_quarantined long, engine_version string, "
             "applied_at double, partitions_json string, partial_to long"
         )
         return self.spark.createDataFrame(
@@ -961,7 +1049,8 @@ class CdcEngine:
                     "batch_id", "snapshot_id", "first_seq", "last_seq",
                     "n_events", "n_inserts", "n_updates", "n_deletes",
                     "touched_buckets", "watermark", "wall_secs",
-                    "events_per_sec", "mode", "n_upserts", "engine_version",
+                    "events_per_sec", "mode", "n_upserts", "n_quarantined",
+                    "engine_version",
                     "applied_at", "partitions_json", "partial_to",
                 ))
                 for r in flat

@@ -140,6 +140,7 @@ def merge_apply(
     batch: DataFrame,
     batch_id: str,
     extract_kernel: str = "python",
+    partial_to: int | None = None,
 ) -> MergeStats:
     """Apply one micro-batch to the table; returns lineage stats.
 
@@ -276,6 +277,12 @@ def merge_apply(
         batch_id=batch_id,
         stats_out=commit_stats,
         expected_parent_id=m.snapshot_id,
+        # stamp the apply's delivered frontier ATOMICALLY with the
+        # commit: a crash between this commit and the ledger append is
+        # repaired by reading it back (engine._apply_batch_once) — the
+        # ledger caller's own partial_to at repair time may be a LATER
+        # delivery and must not be trusted (skip-and-lose)
+        summary={"apply_partial_to": partial_to},
     )
 
     if commit_stats.get("skipped"):
@@ -314,6 +321,7 @@ def merge_apply_mor(
     batch_id: str,
     extract_kernel: str = "python",
     assume_all_buckets: bool = False,
+    partial_to: int | None = None,
 ) -> MergeStats:
     """Merge-on-read apply: LWW-reduce + extract the batch, then APPEND
     the surviving row versions (tombstones included) as delta files —
@@ -415,6 +423,7 @@ def merge_apply_mor(
         batch_id=batch_id,
         stats_out=commit_stats,
         expected_parent_id=m.snapshot_id,
+        summary={"apply_partial_to": partial_to},  # see merge_apply
     )
 
     if commit_stats.get("skipped"):

@@ -382,6 +382,7 @@ def merge_apply_cells(
     batch: DataFrame,
     batch_id: str,
     assume_all_buckets: bool = False,
+    partial_to: int | None = None,
 ) -> MergeStats:
     """Apply one micro-batch with cell-level LWW (patch support) —
     cogrouped per-bucket COW, same two-job plan as
@@ -446,6 +447,9 @@ def merge_apply_cells(
         stats_out=commit_stats,
         pre_partitioned=True,
         expected_parent_id=m.snapshot_id,
+        # frontier stamped atomically with the commit — read back by
+        # the crash-repair path (see merge.py merge_apply)
+        summary={"apply_partial_to": partial_to},
     )
     if commit_stats.get("skipped"):
         return MergeStats(

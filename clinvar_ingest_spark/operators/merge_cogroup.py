@@ -378,6 +378,7 @@ def merge_apply_cogrouped(
     batch_id: str,
     assume_all_buckets: bool = False,
     use_arrow: bool = True,
+    partial_to: int | None = None,
 ) -> MergeStats:
     """Apply one micro-batch via the cogrouped per-bucket plan.
 
@@ -467,6 +468,9 @@ def merge_apply_cogrouped(
         stats_out=commit_stats,
         pre_partitioned=True,
         expected_parent_id=m.snapshot_id,
+        # frontier stamped atomically with the commit — read back by
+        # the crash-repair path (see merge.py merge_apply)
+        summary={"apply_partial_to": partial_to},
     )
 
     if commit_stats.get("skipped"):

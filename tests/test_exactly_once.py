@@ -266,6 +266,47 @@ def test_partial_heal_crash_then_log_grows_past_crashed_remainder(
     assert e.state_hash(include_tombstones=True) == want
 
 
+def test_crash_before_ledger_append_with_grown_log(spark, changelog_df, tmp_path):
+    """Crash in the OTHER window — after the manifest commit, before the
+    ledger append — while the log grows across it. The repair must adopt
+    the frontier the crashed commit stamped into the manifest summary
+    (``apply_partial_to``), NOT this replay's delivered hi, and then
+    heal the missing tail in the same replay pass. Old behavior stamped
+    the new hi: events (crashed_hi, new_hi] were marked complete without
+    ever being merged."""
+    import os
+
+    from clinvar_ingest_spark.streaming.ledger import batch_id_for
+
+    ref = CdcEngine(spark, str(tmp_path / "ref"), n_buckets=8)
+    ref.replay(changelog_df.filter("seq < 1000"), batch_size=500)
+    want = ref.state_hash(include_tombstones=True)
+
+    e = CdcEngine(spark, str(tmp_path / "t"), n_buckets=8)
+    e.replay(changelog_df.filter("seq < 500"), batch_size=500)
+    # apply [500,999] partially (through 749), then crash before the
+    # ledger append: manifest head holds the batch, record missing
+    assert (
+        e.apply_batch(
+            changelog_df.filter("seq >= 500 AND seq < 750"), 500, 999,
+            partial_to=749,
+        )
+        is not None
+    )
+    gid = batch_id_for(500, 999)
+    os.remove(e.ledger._path(gid))
+    assert e.table.manifest().batch_id == gid  # head = the crashed commit
+    assert e.table.manifest().summary["apply_partial_to"] == 749
+
+    # the log grew to 999; replay repairs the ledger AND heals the tail
+    e.replay(changelog_df.filter("seq < 1000"), batch_size=500)
+    rec = e.ledger.get(gid)
+    assert rec is not None and rec["partial_to"] is None
+    assert e.ledger.is_committed(batch_id_for(750, 999))
+    assert e.ledger.last_applied_seq() == 999
+    assert e.state_hash(include_tombstones=True) == want
+
+
 def test_shrunk_redelivery_is_noop(spark, changelog_df, tmp_path):
     """Redelivering LESS than previously seen (replayer restarted from an
     older segment) must not regress the frontier or re-merge anything."""
