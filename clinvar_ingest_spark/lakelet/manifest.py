@@ -77,8 +77,6 @@ class FileEntry:
     bucket: int
     rows: int
     schema_version: int  # schema the file was written under (name-mapping key)
-    min_key: str | None = None
-    max_key: str | None = None
     #: warc_ts column range (ISO) from the parquet footer — manifest-level
     #: data skipping for time-bounded reads (Iceberg file-stats parity).
     #: None (e.g. any nulls / stats missing) = never pruned.
@@ -130,6 +128,9 @@ class FileEntry:
 
     @staticmethod
     def from_json(d: dict) -> "FileEntry":
+        # min_key/max_key were declared-but-never-populated in early
+        # manifests; tolerate (and drop) them when reading old tables
+        d = {k: v for k, v in d.items() if k not in ("min_key", "max_key")}
         return FileEntry(**d)
 
 
@@ -458,9 +459,13 @@ def link_pointer(directory: str, name: str, payload: dict) -> None:
         os.unlink(tmp)
 
 
-def latest_pointer(directory: str, prefix: str = "head-") -> tuple[int, dict] | None:
-    """(seq, payload) of the highest ``{prefix}{seq:012d}.json`` pointer
-    in ``directory``, or None when the chain doesn't exist yet."""
+def _extreme_pointer(
+    directory: str, prefix: str, newest: bool
+) -> tuple[int, dict] | None:
+    """ONE parser for the ``{prefix}{seq:012d}.json`` pointer-chain
+    naming — the highest slot is a chain's head, the lowest a branch's
+    fork seed; keeping both ends in one function means a naming-scheme
+    change cannot silently break one reader."""
     try:
         names = os.listdir(directory)
     except FileNotFoundError:
@@ -473,11 +478,23 @@ def latest_pointer(directory: str, prefix: str = "head-") -> tuple[int, dict] | 
                 seq = int(n[plen:-5])
             except ValueError:
                 continue
-            if best is None or seq > best:
+            if best is None or (seq > best if newest else seq < best):
                 best = seq
     if best is None:
         return None
     return best, read_json(os.path.join(directory, f"{prefix}{best:012d}.json"))
+
+
+def latest_pointer(directory: str, prefix: str = "head-") -> tuple[int, dict] | None:
+    """(seq, payload) of the highest ``{prefix}{seq:012d}.json`` pointer
+    in ``directory``, or None when the chain doesn't exist yet."""
+    return _extreme_pointer(directory, prefix, newest=True)
+
+
+def oldest_pointer(directory: str, prefix: str = "head-") -> tuple[int, dict] | None:
+    """(seq, payload) of the LOWEST pointer — a branch chain's fork
+    seed (branch commits only ever add higher slots)."""
+    return _extreme_pointer(directory, prefix, newest=False)
 
 
 def atomic_write_json(path: str, obj: dict) -> None:

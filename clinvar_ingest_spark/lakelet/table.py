@@ -185,6 +185,26 @@ def bucket_expr(key_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
 
 
+def _check_ref_name(name: str, kind: str) -> str:
+    """Validate a branch/tag name before ANY filesystem use. Every ref
+    name becomes a path component under manifests/, so path separators
+    and dot-aliases are not just invalid — ``drop_branch("..")`` would
+    rmtree the whole manifest store, and ``create_branch("..")`` would
+    alias the "branch" onto the main head chain, silently defeating
+    write-audit-publish isolation."""
+    if (
+        not name
+        or name in (".", "..")
+        or "/" in name
+        or "\\" in name
+        or os.sep in name
+        or "\x00" in name
+        or name.startswith(("_", "head-"))
+    ):
+        raise ValueError(f"invalid {kind} name {name!r}")
+    return name
+
+
 class LakeletTable:
     def __init__(self, root: str, branch: str | None = None):
         self.root = root
@@ -227,7 +247,17 @@ class LakeletTable:
             return t  # idempotent create
         columns = list(columns or PAGES_COLUMNS)
         sid = snapshot_id_for(None, "genesis", 1)
-        summary = {"total_rows": 0, "key_col": key_col, "commit_seq": 0}
+        import time as _time
+
+        # genesis carries committed_at like every other commit —
+        # without it snapshot_as_of() would claim the window between
+        # table creation and the first data commit is "expired"
+        summary = {
+            "total_rows": 0,
+            "key_col": key_col,
+            "commit_seq": 0,
+            "committed_at": round(_time.time(), 6),
+        }
         if stats_cols:
             # columns whose per-file [min,max] footer bounds land in the
             # manifest (Iceberg column-stats file skipping); change
@@ -430,8 +460,7 @@ class LakeletTable:
         CASes the next slot in ITS OWN chain. Idempotent when the branch
         already points at the requested snapshot; raises FileExistsError
         on a live branch at a different snapshot (drop it first)."""
-        if not name or "/" in name or name.startswith(("_", "head-")):
-            raise ValueError(f"invalid branch name {name!r}")
+        _check_ref_name(name, "branch")
         src = self.manifest(from_snapshot_id)
         seq = int(src.summary.get("commit_seq", 0))
         bdir = os.path.join(self._branches_dir(), name)
@@ -470,26 +499,16 @@ class LakeletTable:
         chain made (see CdcEngine._apply_batch_once crash repair)."""
         if self.branch is None:
             return None
-        best = None
-        for n in os.listdir(self.head_dir):
-            if n.startswith("head-") and n.endswith(".json"):
-                try:
-                    seq = int(n[5:-5])
-                except ValueError:
-                    continue
-                if best is None or seq < best:
-                    best = seq
-        if best is None:
-            return None
-        return read_json(
-            os.path.join(self.head_dir, f"head-{best:012d}.json")
-        )["snapshot_id"]
+        from clinvar_ingest_spark.lakelet.manifest import oldest_pointer
+
+        seed = oldest_pointer(self.head_dir)
+        return None if seed is None else seed[1]["snapshot_id"]
 
     def for_branch(self, name: str) -> "LakeletTable":
         """A view of this table whose commits and current-snapshot reads
         go through branch ``name``'s head chain (shared manifests +
         data). Reads by explicit snapshot_id are chain-agnostic."""
-        bdir = os.path.join(self._branches_dir(), name)
+        bdir = os.path.join(self._branches_dir(), _check_ref_name(name, "branch"))
         if latest_pointer(bdir) is None:
             raise FileNotFoundError(f"no branch {name!r} at {self.root}")
         return LakeletTable(self.root, branch=name)
@@ -499,6 +518,7 @@ class LakeletTable:
         Snapshots only the branch referenced become unpinned — the next
         expire_snapshots sweep GCs their manifests and any data files no
         surviving manifest references."""
+        _check_ref_name(name, "branch")
         _rmtree(os.path.join(self._branches_dir(), name))
         _rmtree(os.path.join(self.root, "ledger", "branches", name))
 
@@ -564,8 +584,7 @@ class LakeletTable:
         Tags pin their target against expire_snapshots. Re-tagging a
         taken name raises FileExistsError unless it already points at
         the same snapshot (idempotent)."""
-        if not name or "/" in name or name.startswith("_"):
-            raise ValueError(f"invalid tag name {name!r}")
+        _check_ref_name(name, "tag")
         sid = snapshot_id or self.current_snapshot_id()
         if not self.has_snapshot(sid):
             raise FileNotFoundError(f"no snapshot {sid} to tag")
@@ -581,6 +600,7 @@ class LakeletTable:
     def delete_tag(self, name: str) -> None:
         import contextlib
 
+        _check_ref_name(name, "tag")
         with contextlib.suppress(FileNotFoundError):
             os.unlink(os.path.join(self._tags_dir(), f"{name}.json"))
 
@@ -768,20 +788,61 @@ class LakeletTable:
         # table size (full scans hydrate everything, which they read
         # anyway)
         in_buckets = m.files if bset is None else m.files_for_buckets(bset)
-        delta_buckets = {f.bucket for f in in_buckets if f.kind == "delta"}
+        # delta-bearing buckets in CURRENT-spec space: a delta written
+        # before a grow_buckets carries a legacy spec_n and covers every
+        # current bucket ≡ its bucket (mod spec_n); base files are then
+        # matched via the same spec projection (entry_covers) — raw
+        # f.bucket equality would compare across two different bucket
+        # spaces, letting the ts-window prune below drop a legacy base
+        # file whose current bucket DOES carry deltas (the LWW winner
+        # could live there: silent stale rows / resurrected deletes)
+        delta_buckets: set[int] = set()
+        for f in in_buckets:
+            if f.kind == "delta":
+                s = f.spec_n or m.n_buckets
+                if s == m.n_buckets:
+                    delta_buckets.add(f.bucket)
+                else:
+                    delta_buckets.update(
+                        b for b in range(m.n_buckets) if b % s == f.bucket
+                    )
         if delta_buckets:
-            files = [f for f in in_buckets if f.bucket in delta_buckets]
-            files += select_files(
-                [f for f in in_buckets if f.bucket not in delta_buckets],
+            covered = [
+                f for f in in_buckets if m.entry_covers(f, delta_buckets)
+            ]
+            clean = select_files(
+                [
+                    f
+                    for f in in_buckets
+                    if not m.entry_covers(f, delta_buckets)
+                ],
                 None, ts_not_before, ts_not_after, where_between,
             )
+            files = covered + clean
         else:
-            files = select_files(
+            covered, clean = [], select_files(
                 in_buckets, None, ts_not_before, ts_not_after, where_between
             )
+            files = clean
         if not files:
             return spark.createDataFrame([], schema=target_schema)
-        out = self._read_entries(spark, m, files)
+        # LWW resolution runs over the delta-covered FILES only — keys
+        # never span buckets, so resolving the covered group and
+        # unioning the untouched clean group is exact, and the resolve
+        # Exchange is ∝ delta-bearing buckets' rows (1 hot bucket of
+        # 4096 must not shuffle the whole table), which is the
+        # docstring's promise
+        parts = []
+        if covered:
+            cov = self._read_entries(spark, m, covered)
+            if resolve:
+                cov = self._resolve_lww(cov, m)
+            parts.append(cov)
+        if clean:
+            parts.append(self._read_entries(spark, m, clean))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
         if bset is not None and any(
             f.spec_n not in (None, m.n_buckets) for f in files
         ):
@@ -792,8 +853,6 @@ class LakeletTable:
             # caller that asked for precise bucket slices)
             key_col = m.summary.get("key_col", "url")
             out = out.filter(bucket_expr(key_col, m.n_buckets).isin(*bset))
-        if resolve and delta_buckets:
-            out = self._resolve_lww(out, m)
         return out
 
     def _read_entries(
@@ -1105,7 +1164,20 @@ class LakeletTable:
         for ``sid`` does not reference (same-batch-race orphans)."""
         if not cleanup_paths:
             return
-        referenced = {f.path for f in self.manifest(sid).files}
+        # membership is per-bucket: parse the bucket from each staged
+        # path (data/b{bucket:05d}-...) and hydrate only the segments
+        # covering those buckets — the race-loser's question is O(batch),
+        # it must not pay O(table segments) to answer it
+        bks: set[int] = set()
+        for p in cleanup_paths:
+            try:
+                bks.add(int(os.path.basename(p)[1:6]))
+            except ValueError:  # unexpected layout: full-list fallback
+                bks.clear()
+                break
+        m = self.manifest(sid)
+        entries = m.files_for_buckets(bks) if bks else m.files
+        referenced = {f.path for f in entries}
         for p in cleanup_paths:
             if p in referenced:
                 continue
@@ -1250,12 +1322,17 @@ class LakeletTable:
         )
 
         t_write_done = _time.time()
-        new_entries = promote_staged_files(
-            self.root, staging, sid, token, m.schema_version,
-            spec_n=m.n_buckets,
-            stat_cols=m.summary.get("stats_cols") or (),
-        )
-        _rmtree(staging)
+        try:
+            new_entries = promote_staged_files(
+                self.root, staging, sid, token, m.schema_version,
+                spec_n=m.n_buckets,
+                stat_cols=m.summary.get("stats_cols") or (),
+            )
+        finally:
+            # promotion refusals (e.g. NULL-key rows) must not orphan
+            # the staging dir; promoted files are sid+token-named so
+            # removing leftovers can never touch another writer's data
+            _rmtree(staging)
 
         if stats_out is not None:
             stats_out["skipped"] = False
@@ -1362,13 +1439,15 @@ class LakeletTable:
         self._writer(to_write).partitionBy("_bucket").parquet(staging)
 
         t_write_done = _time.time()
-        new_entries = promote_staged_files(
-            self.root, staging, sid, token, m.schema_version, kind="delta",
-            bloom_key=m.summary.get("key_col", "url"),
-            spec_n=m.n_buckets,
-            stat_cols=m.summary.get("stats_cols") or (),
-        )
-        _rmtree(staging)
+        try:
+            new_entries = promote_staged_files(
+                self.root, staging, sid, token, m.schema_version, kind="delta",
+                bloom_key=m.summary.get("key_col", "url"),
+                spec_n=m.n_buckets,
+                stat_cols=m.summary.get("stats_cols") or (),
+            )
+        finally:
+            _rmtree(staging)  # see commit_rewrite: never orphan staging
 
         if stats_out is not None:
             stats_out["skipped"] = False
@@ -1662,7 +1741,18 @@ def promote_staged_files(
     os.makedirs(data_dir, exist_ok=True)
     promotions: list[tuple[str, str, int]] = []  # (src, rel, bucket)
     for bdir in sorted(glob.glob(os.path.join(staging, "_bucket=*"))):
-        b = int(os.path.basename(bdir).split("=")[1])
+        raw = os.path.basename(bdir).split("=", 1)[1]
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            # a NULL bucket = NULL key rows reached the writer (xxhash64
+            # of NULL is NULL). The engine's validate rules catch these
+            # upstream; a direct commit_* caller gets a clear refusal
+            # instead of int("__HIVE_DEFAULT_PARTITION__")
+            raise ValueError(
+                "staged write contains rows with a NULL partition key "
+                "(_bucket=__HIVE_DEFAULT_PARTITION__); filter or "
+                "quarantine NULL-key rows before committing"
+            )
+        b = int(raw)
         for i, p in enumerate(sorted(glob.glob(os.path.join(bdir, "*.parquet")))):
             promotions.append(
                 (p, f"data/b{b:05d}-{sid}-{token}-{i}.parquet", b)

@@ -243,3 +243,41 @@ def test_publish_crash_between_manifest_and_head(spark, changelog_df, tmp_path):
     sid = t.publish_branch("b")  # self-heals
     assert t.current_snapshot_id() == sid
     assert t._is_committed(sid)
+
+
+def test_ref_names_are_validated_before_any_filesystem_use(spark, tmp_path):
+    """Branch/tag names become path components under manifests/ —
+    ``drop_branch("..")`` would rmtree the whole manifest store and
+    ``create_branch("..")`` would alias the "branch" onto the main head
+    chain (silently defeating WAP isolation). Every ref entry point
+    must reject separators and dot-aliases BEFORE touching the
+    filesystem."""
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=4)
+    t = eng.table
+    bad = ["", ".", "..", "a/b", "a\\b", "_x", "head-1", "../../etc"]
+    for name in bad:
+        with pytest.raises(ValueError):
+            t.create_branch(name)
+        with pytest.raises(ValueError):
+            t.drop_branch(name)
+        with pytest.raises(ValueError):
+            t.create_tag(name)
+        with pytest.raises(ValueError):
+            t.delete_tag(name)
+        with pytest.raises((ValueError, FileNotFoundError)):
+            t.for_branch(name)
+    # the manifest store survived every attempt
+    assert t.current_snapshot_id()
+    t.create_branch("audit")  # good names still work
+    t.drop_branch("audit")
+
+
+def test_snapshot_as_of_covers_the_genesis_window(spark, tmp_path):
+    """AS-OF between table creation and the first data commit must
+    resolve to genesis, not raise 'expired' — genesis carries
+    committed_at like every other commit."""
+    import time
+
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=4)
+    sid = eng.table.snapshot_as_of(time.time())
+    assert sid == eng.table.current_snapshot_id()

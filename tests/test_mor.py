@@ -176,6 +176,68 @@ def test_mor_ts_window_read_never_resurrects(spark, tmp_path):
     assert bytes(rows[0]["html"]) == b"<p>new</p>"
 
 
+def test_mor_ts_window_prune_respects_legacy_spec_deltas(spark, tmp_path):
+    """Spec growth composes with the delta-bucket prune guard: after
+    grow_buckets, base files live in LEGACY bucket space while new
+    deltas land under the CURRENT spec. Matching them by raw bucket
+    equality would let the ts-window prune drop a legacy base file
+    whose current bucket DOES carry deltas — resurrecting a deleted key
+    inside the caller's row-filtered window (the advisory extra-rows
+    contract cannot save the caller from a wrong LWW winner)."""
+    from pyspark.sql import functions as F
+
+    from clinvar_ingest_spark.lakelet.table import bucket_expr
+
+    schema = (
+        "seq long, op string, url string, warc_ts timestamp, html binary, "
+        "lang string, extra string"
+    )
+    t = datetime.fromisoformat
+    mor = CdcEngine(spark, str(tmp_path / "m"), n_buckets=4, write_mode="mor")
+    # pick a url whose CURRENT-spec (8) bucket differs numerically from
+    # its legacy (4) bucket, so raw-equality matching cannot succeed
+    cands = spark.createDataFrame(
+        [(f"https://ex.com/p{i}",) for i in range(64)], "url string"
+    ).select("url", bucket_expr("url", 8).alias("b8")).collect()
+    u = next(r["url"] for r in cands if r["b8"] >= 4)
+
+    mor.apply_batch(
+        spark.createDataFrame(
+            [(0, "insert", u, t("2026-01-01 00:00:00"), b"<p>v1</p>", "en", None)],
+            schema=schema,
+        ), 0, 0,
+    )
+    mor.apply_batch(
+        spark.createDataFrame(
+            [(1, "delete", u, t("2026-01-04 00:00:00"), None, None, None)],
+            schema=schema,
+        ), 1, 1,
+    )
+    mor.compact()  # tombstone (the LWW winner) is now a base file
+    mor.table.grow_buckets(8)  # base restamped spec_n=4 (legacy)
+    # late out-of-order insert AFTER the grow: delta under the new spec
+    mor.apply_batch(
+        spark.createDataFrame(
+            [(2, "update", u, t("2026-01-02 00:00:00"), b"<p>late</p>", "en", None)],
+            schema=schema,
+        ), 2, 2,
+    )
+    assert mor.table.delta_buckets(), "late update must be a delta commit"
+
+    # the key is deleted (Jan 4 tombstone beats the Jan 2 late event) —
+    # it must be absent from EVERY window, including one whose file
+    # prune would drop the legacy base file under raw-bucket matching
+    rows = (
+        mor.table.read(spark, ts_not_after="2026-01-03 00:00:00")
+        .filter(F.col("url") == u)
+        .filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+        .filter(F.col("warc_ts") <= t("2026-01-03 00:00:00"))
+        .collect()
+    )
+    assert rows == [], f"deleted key resurrected in ts window: {rows}"
+    assert mor.pages().filter(F.col("url") == u).count() == 0
+
+
 def test_mor_evolution_fallback_carryover(spark, changelog_df, tmp_path):
     """After add_column, batches that don't speak the new column need
     COW carry-over — the engine must fall back per batch and reconverge
