@@ -209,15 +209,28 @@ def rewrite_small_files(
 
     m = table.manifest()
     per_bucket: dict[int, int] = {}
-    delta_buckets = set()
+    # delta coverage in CURRENT-spec space: a pre-grow delta at legacy
+    # bucket b covers every current bucket ≡ b (mod spec_n); raw-id
+    # matching would let this layout-only pass rewrite (= semantically
+    # FOLD) delta stacks it documents itself as leaving alone
+    delta_cover: set[int] = set()
     for f in m.files:
         per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
         if f.kind == "delta":
-            delta_buckets.add(f.bucket)
+            s = f.spec_n or m.n_buckets
+            if s == m.n_buckets:
+                delta_cover.add(f.bucket)
+            else:
+                delta_cover.update(
+                    b for b in range(m.n_buckets) if b % s == f.bucket
+                )
     frag = [
         b
         for b, n in per_bucket.items()
-        if n >= min_files and b not in delta_buckets
+        if n >= min_files and b not in delta_cover
+        # the closure rule migrates legacy files whole: skip any bucket
+        # whose rewrite would drag a delta-covered bucket along
+        and not (set(table.rewrite_closure([b])) & delta_cover)
     ]
     if not frag:
         return m.snapshot_id
@@ -256,7 +269,14 @@ def purge_tombstones(
     m = table.manifest()
     is_old_tomb = (
         F.coalesce(F.col("_deleted"), F.lit(False))
-        & (F.col("warc_ts") < F.lit(older_than).cast("timestamp"))
+        # null-safe: a NULL-warc_ts tombstone has UNKNOWN age — it must
+        # be conservatively kept. A bare `<` yields SQL NULL there, and
+        # the kept-rows filter(~NULL) below would silently PURGE it,
+        # letting a late redelivery of the deleted key resurrect
+        & F.coalesce(
+            F.col("warc_ts") < F.lit(older_than).cast("timestamp"),
+            F.lit(False),
+        )
     )
     # the detection scan prunes at the MANIFEST level: files whose
     # footer-stat warc_ts range starts after the cutoff can't hold an
@@ -314,6 +334,18 @@ def expire_snapshots(
     jobs/fanout_release.py) default it to 600 s.
     Returns {'expired': [...], 'deleted_files': n}."""
     import time as _time
+
+    if table.branch is not None:
+        # retention (chain[-keep_last:]) and the head-pointer GC below
+        # are MAIN-chain-scoped; run from a branch view, 'the chain'
+        # would be the branch's, every post-fork main snapshot would be
+        # unpinned, and phase 2 would delete main's data files — GC of
+        # the wrong chain. Branch heads are pinned automatically when
+        # expiry runs on the main table; drop_branch() unpins.
+        raise ValueError(
+            f"expire_snapshots must run on the MAIN table, not branch "
+            f"{table.branch!r} (use LakeletTable.load(root))"
+        )
 
     now = _time.time()
 

@@ -388,6 +388,17 @@ def merge_apply_cells(
     cogrouped per-bucket COW, same two-job plan as
     :func:`merge_apply_cogrouped`."""
     m = table.manifest()
+    bad = {"l", "d"} & {c.name for c in m.columns}
+    if bad:
+        # the kernel's internal frames use 'cl_/cd_/bl_/bd_' for the
+        # row-level life/delete positions and 'c{cell}_/b{cell}_' for
+        # per-cell positions — a payload column named 'l' or 'd' makes
+        # those collide and silently corrupts aliveness/LWW resolution
+        raise ValueError(
+            f"patch_ops tables cannot have columns named {sorted(bad)} "
+            "(reserved by the cells kernel's internal prefixes); rename "
+            "the column or use row-level mode"
+        )
     if assume_all_buckets:
         touched = list(range(m.n_buckets))
     else:

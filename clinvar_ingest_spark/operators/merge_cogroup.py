@@ -90,6 +90,12 @@ def _merge_bucket_arrow_fn(
             ix = pc.sort_indices(
                 b,
                 sort_keys=[("url", "ascending"), ("warc_ts", "ascending"), ("seq", "ascending")],
+                # NULL warc_ts must rank LOWEST (parity with merge.py's
+                # max_by struct order and merge_cells' _ts_us(_NEG)):
+                # the default at_end placement would crown an
+                # unparseable-timestamp event the per-url winner and
+                # silently drop the real latest event
+                null_placement="at_start",
             )
             b = b.take(ix)
             urls = b["url"].combine_chunks()
@@ -267,7 +273,11 @@ def _merge_bucket_fn(
 
         # --- LWW reduce: one winner per url by (warc_ts, seq) ---------
         if len(bdf):
-            bdf = bdf.sort_values(["warc_ts", "seq"], kind="stable")
+            # na_position='first': NULL warc_ts ranks lowest — see the
+            # arrow kernel's null_placement note (strategy parity)
+            bdf = bdf.sort_values(
+                ["warc_ts", "seq"], kind="stable", na_position="first"
+            )
             win = bdf.groupby("url", sort=False).tail(1)
         else:
             win = bdf
@@ -404,6 +414,18 @@ def merge_apply_cogrouped(
             "list/struct payloads) — use strategy='join' "
             "(merge_apply), which handles them incl. nested-schema "
             "version matching"
+        )
+    table_names = {c.name for c in m.columns}
+    if "text" not in table_names or "html" not in batch.columns:
+        # both kernels extract text from html unconditionally — a table
+        # or batch without those columns would die with a per-executor
+        # KeyError('c_text') deep inside applyInArrow; refuse clearly
+        # and point at the schema-flexible formulation instead
+        raise ValueError(
+            "cogroup merge requires a 'text' table column and an 'html' "
+            "batch column (the kernels run HTML->text extraction "
+            "inline) — for entity tables with other payload schemas "
+            "use strategy='join' (merge_apply)"
         )
 
     if assume_all_buckets:

@@ -6,7 +6,11 @@ import os
 import pytest
 
 from clinvar_ingest_spark.engine import CdcEngine
-from clinvar_ingest_spark.lakelet.maintenance import expire_snapshots, rebucket
+from clinvar_ingest_spark.lakelet.maintenance import (
+    expire_snapshots,
+    purge_tombstones,
+    rebucket,
+)
 from clinvar_ingest_spark.sources.changelog import (
     ChangelogSpec,
     changelog_arrow_schema,
@@ -184,3 +188,81 @@ def test_expire_by_age(spark, tmp_path):
     res = expire_snapshots(t, keep_last=1, older_than_secs=0)
     assert res["expired"]
     assert len(t.history()) == 1
+
+
+def test_purge_keeps_null_ts_tombstones(spark, tmp_path):
+    """A NULL-warc_ts tombstone has UNKNOWN age: purge_tombstones must
+    conservatively keep it even while rewriting its bucket for a
+    genuinely-old tombstone — `~(TRUE AND NULL)` would silently drop it
+    and let a late redelivery resurrect the deleted key."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from clinvar_ingest_spark.engine import CdcEngine
+    from clinvar_ingest_spark.lakelet.table import bucket_expr
+
+    t = datetime.fromisoformat
+    schema = (
+        "seq long, op string, url string, warc_ts timestamp, html binary, "
+        "lang string, extra string"
+    )
+    e = CdcEngine(spark, str(tmp_path / "p"), n_buckets=4)
+    e.apply_batch(
+        spark.createDataFrame(
+            [
+                (0, "insert", "https://x/b", t("2020-01-01 00:00:00"), b"<p>v</p>", "en", None),
+                (1, "delete", "https://x/b", t("2020-01-02 00:00:00"), None, None, None),
+            ],
+            schema=schema,
+        ), 0, 9,
+    )
+    # plant a NULL-ts tombstone at the table layer (the cells engine's
+    # noop_delete can produce this shape; the row engine no longer does
+    # since NULL-ts events lose LWW)
+    m = e.table.manifest()
+    raw = e.read()
+    extra = raw.limit(1).select(
+        F.lit("https://x/nullts").alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("props"),
+        F.lit(99).cast("long").alias("_seq"),
+        F.lit(True).alias("_deleted"),
+    )
+    allrows = raw.unionByName(extra, allowMissingColumns=True).withColumn(
+        "_bucket", bucket_expr("url", m.n_buckets)
+    )
+    e.table.commit_rewrite(
+        spark, allrows, list(range(m.n_buckets)), batch_id="plant",
+        expected_parent_id=m.snapshot_id,
+    )
+    assert e.read().filter("_deleted").count() == 2
+    purge_tombstones(spark, e.table, "2025-01-01 00:00:00")
+    left = e.read().filter("_deleted").collect()
+    assert [r["url"] for r in left] == ["https://x/nullts"]
+    assert left[0]["warc_ts"] is None
+
+
+def test_expire_snapshots_refuses_branch_views(spark, tmp_path):
+    """Retention and head-pointer GC are main-chain-scoped: run from a
+    branch view they would unpin (and delete) every post-fork main
+    snapshot. The function must refuse branch-attached tables."""
+    import pytest as _pytest
+
+    from clinvar_ingest_spark.engine import CdcEngine
+
+    cl = spark.createDataFrame(
+        generate_changelog(ChangelogSpec(n_events=500, seed=13))
+    )
+    e = CdcEngine(spark, str(tmp_path / "t"), n_buckets=8)
+    e.replay(cl, batch_size=250)
+    e.table.create_branch("audit")
+    br = e.table.for_branch("audit")
+    with _pytest.raises(ValueError, match="MAIN table"):
+        expire_snapshots(br, keep_last=1)
+    # main run still works and keeps the branch head readable
+    expire_snapshots(e.table, keep_last=1)
+    assert br.read(spark).count() >= 0

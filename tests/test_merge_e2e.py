@@ -275,3 +275,51 @@ def test_hot_url_skew_replay(spark, tmp_path):
     got = _result_pdf(eng)
     want = pandas_oracle(pdf)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_null_warc_ts_event_never_beats_a_real_timestamp(spark, tmp_path):
+    """All three merge formulations must rank a NULL warc_ts LOWEST in
+    the within-batch LWW reduce (parity with max_by's struct order and
+    the cells kernel's _ts_us(_NEG)). The cogroup kernels' default
+    nulls-last sort would crown an unparseable-timestamp event the
+    per-url winner and silently drop the real latest event."""
+    from datetime import datetime
+
+    schema = (
+        "seq long, op string, url string, warc_ts timestamp, html binary, "
+        "lang string, extra string"
+    )
+    t = datetime.fromisoformat
+    u = "https://ex.com/nullts"
+    # one batch: a valid event (seq 4) and a NULL-ts event (seq 5)
+    rows = [
+        (4, "insert", u, t("2026-03-01 00:00:00"), b"<p>real</p>", "en", None),
+        (5, "update", u, None, b"<p>junk</p>", "en", None),
+    ]
+    hashes = set()
+    for name, kw in (
+        ("join", dict(strategy="join")),
+        ("cogroup_arrow", dict(strategy="cogroup")),
+    ):
+        e = CdcEngine(spark, str(tmp_path / name), n_buckets=4, **kw)
+        e.apply_batch(spark.createDataFrame(rows, schema=schema), 0, 9)
+        live = e.pages().collect()
+        assert len(live) == 1, name
+        assert bytes(live[0]["html"]) == b"<p>real</p>", name
+        assert live[0]["warc_ts"] is not None, name
+        hashes.add(e.state_hash(include_tombstones=True))
+    assert len(hashes) == 1  # byte-identical across strategies
+
+    # pandas cogroup kernel (use_arrow=False) agrees too
+    from clinvar_ingest_spark.lakelet.table import LakeletTable
+    from clinvar_ingest_spark.operators.merge_cogroup import (
+        merge_apply_cogrouped,
+    )
+
+    e2 = CdcEngine(spark, str(tmp_path / "pd"), n_buckets=4)
+    merge_apply_cogrouped(
+        spark, e2.table, spark.createDataFrame(rows, schema=schema),
+        "000000000000-000000000009", use_arrow=False,
+    )
+    live = e2.table.read(spark).filter("NOT _deleted").collect()
+    assert len(live) == 1 and bytes(live[0]["html"]) == b"<p>real</p>"
