@@ -949,6 +949,115 @@ def q_canonical_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_debezium_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium-envelope CDC ingest (sources/debezium.py): synthesize a
+    deterministic stream of real-world binlog envelopes from `events`
+    (c/r/u/d op mix by event_id, base64 row images, epoch-µs source
+    clock, post-delete tombstones, an unknown-op arm and literal
+    garbage records), parse it with the adapter, and fold to per-URL
+    LWW live state. Attests the whole adapter contract end-to-end:
+    tombstones and malformed records must NOT reach state (the 'x'-op
+    and garbage rows would flip LWW winners / add rows if kept), the
+    base64+JSON-escape roundtrip must be byte-exact (last_text /
+    last_extra), and deletes — which carry only before+source — must
+    order by the source clock. Everything JVM-side: from_json /
+    to_json / unbase64 / window; the one Exchange is the LWW window's.
+    The oracle replays the same derivation from `events` directly,
+    skipping the JSON hop (values, not encodings, are compared)."""
+    from clinvar_ingest_spark.functions.timeutil import epoch_micros
+    from clinvar_ingest_spark.sources.debezium import parse_debezium
+
+    ev = _t(spark, sf_dir, "events")
+    sid = F.col("event_id")
+    kind = (
+        F.when(F.pmod(sid, 11) == 0, F.lit("d"))
+        .when(F.pmod(sid, 11) == 1, F.lit("r"))
+        .when(F.pmod(sid, 11) == 10, F.lit("x"))  # unknown op → reject
+        .when(F.pmod(sid, 11) < 6, F.lit("c"))
+        .otherwise(F.lit("u"))
+    )
+    url = F.concat(
+        F.lit("https://h"),
+        F.pmod(F.col("user_id"), F.lit(7)).cast("string"),
+        F.lit(".example/p"),
+        F.pmod(sid, F.lit(499)).cast("string"),
+    )
+    text = F.concat(
+        F.lit("<html><body>"),
+        F.col("event_type"),
+        F.lit(" "),
+        _cents(F.col("value")).cast("string"),
+        F.lit("</body></html>"),
+    )
+    b = ev.select(
+        sid.alias("seq"),
+        kind.alias("kind"),
+        url.alias("url"),
+        epoch_micros(ev, "ts").alias("ts_us"),
+        F.substring(F.col("event_type"), 1, 2).alias("lang"),
+        text.alias("text"),
+        F.col("props").alias("extra"),
+    )
+    is_del = F.col("kind") == "d"
+    after = F.when(
+        ~is_del,
+        F.struct(
+            F.col("url"),
+            F.col("ts_us").alias("warc_ts_us"),
+            F.base64(F.encode(F.col("text"), "UTF-8")).alias("html_b64"),
+            F.col("lang"),
+            F.lit(1).alias("schema_ver"),
+            F.col("extra"),
+        ),
+    )
+    payload = F.struct(
+        F.col("kind").alias("op"),
+        F.when(is_del, F.struct(F.col("url"))).alias("before"),
+        after.alias("after"),
+        F.struct(F.col("ts_us"), F.col("seq")).alias("source"),
+    )
+    envelopes = b.select(
+        F.to_json(F.struct(payload.alias("payload"))).alias("value")
+    )
+    # Debezium emits a NULL-value tombstone after every delete; also
+    # mix in unparseable garbage — both must vanish in the adapter.
+    tombstones = b.where(is_del).select(
+        F.lit(None).cast("string").alias("value")
+    )
+    garbage = spark.range(3).select(
+        F.concat(F.lit('{"payload": broken'), F.col("id").cast("string"))
+        .alias("value")
+    )
+    stream = envelopes.unionByName(tombstones).unionByName(garbage)
+
+    clog = parse_debezium(stream)
+    w = Window.partitionBy("url").orderBy(
+        F.col("warc_ts").desc(), F.col("seq").desc()
+    )
+    ranked = clog.select(
+        "url",
+        "seq",
+        "op",
+        "lang",
+        F.col("extra").alias("last_extra"),
+        F.decode(F.col("html"), "UTF-8").alias("last_text"),
+        epoch_micros(clog, "warc_ts").alias("last_ts_us"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("url")).alias("n_changes"),
+    )
+    return ranked.where(
+        (F.col("rn") == 1) & (F.col("op") != "delete")
+    ).select(
+        "url",
+        F.col("seq").alias("last_seq"),
+        "last_ts_us",
+        F.col("lang").alias("last_lang"),
+        "last_text",
+        "last_extra",
+        "n_changes",
+    )
+
+
 def q_bm25_indexed_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-backed BM25 (the 100 TB query path): replay the CDC
     fixture into an engine table, maintain a CONTENT inverted index
@@ -2696,7 +2805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # normalization re-attested via the flagship replay), then the
     # two queries NEW in round 5 (bm25_topk, canonical_url_dedup),
     # then the least-recently-attested r1-r3 greens. With this window,
-    # every one of the 98 queries has had a driver CORRECTNESS row in
+    # every one of the 101 queries has had a driver CORRECTNESS row in
     # some round. The rotated-out r4-green replay/streaming family keeps
     # its operator pytests AND the new tests/test_default_session.py
     # gate, which runs ALL queries against the oracle under a
@@ -2725,15 +2834,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "cdc_replay_pages": q_cdc_replay_pages,
         # -- NEW round 5: must sit inside the first-50 window to ever
-        # get a driver row (displaces the four window-tail entries
-        # pii_scrub, quality_gate, multimodal_meta and
-        # corpus_sample_stratified, all of which carry prior driver
-        # greens — CORRECTNESS_r01/r03 — so the every-query-attested
+        # get a driver row (displaces the five window-tail entries
+        # decontam_overlap, pii_scrub, quality_gate, multimodal_meta
+        # and corpus_sample_stratified, all of which carry prior driver
+        # greens — CORRECTNESS_r01/r03/r04 — so the every-query-attested
         # invariant holds) --
         "bm25_topk": q_bm25_topk,
         "canonical_url_dedup": q_canonical_url_dedup,
         "bm25_indexed_replay": q_bm25_indexed_replay,
         "minhash_index_probe": q_minhash_index_probe,
+        "debezium_replay": q_debezium_replay,
         # -- least-recently-attested (last driver row r3 or earlier) --
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -3350,6 +3460,45 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token
             ORDER BY n DESC, token ASC
             LIMIT 50
+        """,
+        # mirrors the q_debezium_replay derivation from `events`
+        # directly (values, not envelope encodings, are compared): the
+        # 'x'-op arm, tombstones and garbage records must contribute
+        # NOTHING — an adapter that kept any of them diverges here.
+        "debezium_replay": """
+            WITH m AS (
+              SELECT event_id AS seq,
+                     CASE WHEN event_id % 11 = 0 THEN 'd'
+                          WHEN event_id % 11 = 10 THEN 'x'
+                          ELSE 'cu' END AS kind,
+                     'https://h' || CAST(user_id % 7 AS VARCHAR)
+                       || '.example/p' || CAST(event_id % 499 AS VARCHAR)
+                       AS url,
+                     epoch_us(ts) AS ts_us,
+                     substr(event_type, 1, 2) AS lang,
+                     '<html><body>' || event_type || ' '
+                       || CAST(CAST(round(value * 100, 0) AS BIGINT)
+                               AS VARCHAR)
+                       || '</body></html>' AS text,
+                     props AS extra
+              FROM events
+            ), ranked AS (
+              SELECT *,
+                     row_number() OVER (
+                       PARTITION BY url ORDER BY ts_us DESC, seq DESC
+                     ) AS rn,
+                     count(*) OVER (PARTITION BY url) AS n_changes
+              FROM m WHERE kind <> 'x'
+            )
+            SELECT url,
+                   seq AS last_seq,
+                   ts_us AS last_ts_us,
+                   lang AS last_lang,
+                   text AS last_text,
+                   extra AS last_extra,
+                   n_changes
+            FROM ranked
+            WHERE rn = 1 AND kind <> 'd'
         """,
         "patch_lww_users": """
             -- composite (ts, event_id) arg_max key packed into HUGEINT

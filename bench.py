@@ -70,6 +70,7 @@ HEADLINE = [
     "canonical_url_dedup",
     "bm25_indexed_replay",
     "minhash_index_probe",
+    "debezium_replay",
 ]
 
 #: In-run anchor for substrate-drift cancellation (VERDICT r4 item 7):
