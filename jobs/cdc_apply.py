@@ -42,6 +42,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--checkpoint", help="stream checkpoint dir (required with --tail)")
     p.add_argument("--batch-size", type=int, default=100_000,
                    help="events per micro-batch in batch replay")
+    p.add_argument("--format", choices=("native", "debezium"),
+                   default="native",
+                   help="changelog encoding: 'native' = FIXTURES.md §2 "
+                        "parquet; 'debezium' = Debezium JSON envelopes "
+                        "(a parquet 'value' column, or JSON-lines text) "
+                        "— tombstones dropped, malformed records written "
+                        "to <table>_rejects instead of applied")
     p.add_argument("--buckets", type=int, default=256,
                    help="hash buckets when creating a new table")
     p.add_argument("--max-files-per-trigger", type=int, default=8)
@@ -87,7 +94,23 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     if args.changelog:
-        changelog = spark.read.parquet(args.changelog)
+        if args.format == "debezium":
+            from clinvar_ingest_spark.sources.debezium import parse_debezium
+
+            raw = (
+                spark.read.parquet(args.changelog)
+                if args.changelog.endswith(".parquet")
+                else spark.read.text(args.changelog)
+            )
+            changelog, rejects = parse_debezium(raw, with_rejects=True)
+            n_rejects = rejects.count()
+            if n_rejects:
+                # quarantine, never guess: keep raw value + reason next
+                # to the table for operator triage
+                rejects.write.mode("append").parquet(args.table + "_rejects")
+            print(json.dumps({"format": "debezium", "rejects": n_rejects}))
+        else:
+            changelog = spark.read.parquet(args.changelog)
         if args.bench_json:
             import shutil
             import time
