@@ -66,10 +66,69 @@ DEBEZIUM_SCHEMA = (
 _OP_MAP = {"c": "insert", "r": "insert", "u": "update", "d": "delete"}
 
 
+#: after-fields the fixed schema consumes; anything else is schema
+#: drift from the upstream source
+_KNOWN_AFTER = ("url", "warc_ts_us", "html_b64", "lang", "schema_ver", "extra")
+
+
+def _spilled_extra() -> "F.Column":
+    """Unknown ``after`` fields → merged into the ``extra`` JSON.
+
+    This is the reference's evolving-schema rule (Content.scala:16-22 —
+    unmodeled upstream fields spill into the ``content`` residue, they
+    are never silently dropped) applied to Debezium schema drift: a
+    producer that starts shipping a new column keeps flowing, the new
+    field rides ``extra`` into the table's ``props`` residue, and a
+    later ``add_column`` can promote it without a backfill gap.
+
+    Pure column expressions: ``after`` re-parses as
+    ``map<string,string>`` — scalar values as strings, nested
+    objects/arrays as their raw JSON text (lossless) — and unknown
+    keys merge into the (flat) ``extra`` object, existing ``extra``
+    keys winning collisions. The unparseable-map fallback (raw
+    ``after`` under ``_after_raw``) is defense in depth; a value that
+    reached this point parsed as an object already."""
+    after_raw = F.col("_after_raw")
+    amap = F.from_json(after_raw, "map<string,string>")
+    residue = F.map_filter(
+        amap, lambda k, _: ~k.isin(*_KNOWN_AFTER)
+    )
+    extra = F.col("_p.after.extra")
+    emap = F.from_json(extra, "map<string,string>")
+    # extra wins key collisions (mapKeyDedupPolicy defaults to EXCEPTION
+    # — never feed map_concat overlapping keys)
+    residue_no_clash = F.when(
+        emap.isNotNull(),
+        F.map_filter(
+            residue,
+            lambda k, _: ~F.array_contains(F.map_keys(emap), k),
+        ),
+    ).otherwise(residue)
+    return (
+        F.when(after_raw.isNull(), extra)  # delete: no row image
+        .when(amap.isNull(), F.to_json(F.create_map(F.lit("_after_raw"), after_raw)))
+        .when(F.size(residue) == 0, extra)
+        .when(extra.isNull(), F.to_json(residue))
+        .when(
+            emap.isNotNull(),
+            F.to_json(F.map_concat(residue_no_clash, emap)),
+        )
+        .otherwise(  # extra present but not a flat object: keep it raw
+            F.to_json(
+                F.map_concat(
+                    residue,
+                    F.create_map(F.lit("_extra_raw"), extra),
+                )
+            )
+        )
+    )
+
+
 def parse_debezium(
     envelopes: DataFrame,
     value_col: str = "value",
     with_rejects: bool = False,
+    spill_unknown_after: bool = False,
 ) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Debezium JSON envelopes → engine changelog rows.
 
@@ -77,6 +136,10 @@ def parse_debezium(
     record value (NULL = tombstone). Returns the changelog DataFrame,
     or ``(changelog, rejects)`` when ``with_rejects=True`` — rejects
     keep the raw value plus a ``_reject_reason`` column.
+
+    ``spill_unknown_after=True`` preserves schema drift: ``after``
+    fields outside the fixed schema are merged into ``extra`` (see
+    :func:`_spilled_extra`) instead of being dropped by ``from_json``.
     """
     val = F.col(value_col)
     p = F.from_json(val, DEBEZIUM_SCHEMA).getField("payload")
@@ -84,6 +147,7 @@ def parse_debezium(
     parsed = envelopes.where(val.isNotNull()).select(
         val.alias("_raw"),
         p.alias("_p"),
+        F.get_json_object(val, "$.payload.after").alias("_after_raw"),
     )
 
     op_in = F.col("_p.op")
@@ -115,7 +179,10 @@ def parse_debezium(
         F.coalesce(F.col("_p.after.schema_ver"), F.lit(1)).alias(
             "schema_ver"
         ),
-        F.col("_p.after.extra").alias("extra"),
+        (
+            _spilled_extra() if spill_unknown_after
+            else F.col("_p.after.extra")
+        ).alias("extra"),
     )
 
     good = annotated.where(F.col("_reject_reason").isNull()).drop(

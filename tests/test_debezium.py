@@ -149,6 +149,53 @@ def test_roundtrip_inverse(spark, tmp_path):
     assert norm(a) == norm(b)
 
 
+def test_spill_unknown_after_fields(spark):
+    """Schema drift: after-fields outside the fixed schema merge into
+    extra (existing extra keys win collisions); nested drift spills as
+    raw JSON text; default (no flag) behavior is unchanged."""
+    import json as _json
+
+    rows = [
+        # flat drift, extra present, one colliding key ('k' — extra wins)
+        _env("c", url="https://a/1", ts_us=1, seq=1,
+             extra='{"k": "keep", "e": "1"}'),
+        # flat drift, no extra
+        _env("c", url="https://a/2", ts_us=2, seq=2),
+        # no drift at all
+        _env("c", url="https://a/3", ts_us=3, seq=3, extra='{"z": "9"}'),
+        # nested drift → value spilled as its raw JSON text
+        _env("c", url="https://a/4", ts_us=4, seq=4),
+        # delete: no after image, extra stays null
+        _env("d", before_url="https://a/5", src_ts=5, seq=5),
+    ]
+    # inject drift fields into the after objects
+    def drift(s, fields):
+        d = _json.loads(s)
+        d["payload"]["after"].update(fields)
+        return _json.dumps(d)
+
+    rows[0] = drift(rows[0], {"clicks": 7, "k": "drop"})
+    rows[1] = drift(rows[1], {"rank": 1.5})
+    rows[3] = drift(rows[3], {"meta": {"nested": True}})
+    df = spark.createDataFrame([Row(value=v) for v in rows], "value string")
+
+    out = {
+        r.seq: r.extra
+        for r in parse_debezium(df, spill_unknown_after=True).collect()
+    }
+    assert _json.loads(out[1]) == {"clicks": "7", "k": "keep", "e": "1"}
+    assert _json.loads(out[2]) == {"rank": "1.5"}
+    assert out[3] == '{"z": "9"}'  # untouched, not re-serialized
+    raw4 = _json.loads(out[4])
+    assert set(raw4) == {"meta"}
+    assert _json.loads(raw4["meta"]) == {"nested": True}
+    assert out[5] is None
+
+    # flag off: drift silently dropped by from_json, extra verbatim
+    off = {r.seq: r.extra for r in parse_debezium(df).collect()}
+    assert off[1] == '{"k": "keep", "e": "1"}' and off[2] is None
+
+
 def test_engine_replay_from_envelopes_matches_native(spark, tmp_path):
     """Envelopes → parse_debezium → CdcEngine ≡ native changelog →
     CdcEngine (same final state hash)."""
