@@ -1058,6 +1058,20 @@ def q_debezium_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram LM scoring (operators/quality_lm.py): corpus
+    counts → top-512 vocab (deterministic n-desc/token-asc cut) →
+    per-doc add-one mean -log2 p in integer centibits. ONE corpus-sized
+    Exchange builds the counts (map-side combined), the model joins
+    back broadcast, and ONE doc-keyed Exchange computes the means —
+    the CCNet keep/drop axis as a scan + two bounded shuffles."""
+    from clinvar_ingest_spark.operators.quality_lm import unigram_logprob
+
+    return unigram_logprob(
+        _t(spark, sf_dir, "documents"), vocab_k=512
+    )
+
+
 def q_bm25_indexed_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-backed BM25 (the 100 TB query path): replay the CDC
     fixture into an engine table, maintain a CONTENT inverted index
@@ -2805,7 +2819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # normalization re-attested via the flagship replay), then the
     # two queries NEW in round 5 (bm25_topk, canonical_url_dedup),
     # then the least-recently-attested r1-r3 greens. With this window,
-    # every one of the 101 queries has had a driver CORRECTNESS row in
+    # every one of the 102 queries has had a driver CORRECTNESS row in
     # some round. The rotated-out r4-green replay/streaming family keeps
     # its operator pytests AND the new tests/test_default_session.py
     # gate, which runs ALL queries against the oracle under a
@@ -2844,6 +2858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_indexed_replay": q_bm25_indexed_replay,
         "minhash_index_probe": q_minhash_index_probe,
         "debezium_replay": q_debezium_replay,
+        "unigram_perplexity": q_unigram_perplexity,
         # -- least-recently-attested (last driver row r3 or earlier) --
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -3460,6 +3475,36 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token
             ORDER BY n DESC, token ASC
             LIMIT 50
+        """,
+        # mirrors operators/quality_lm.py exactly: same token stream as
+        # vocab_topk, same deterministic vocab cut, same add-one
+        # probabilities from exact integer counts, e2 centibit rounding
+        "unigram_perplexity": r"""
+            WITH toks AS (
+              SELECT doc_id, tok FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\s+')) AS tok
+                FROM documents
+              ) WHERE tok <> ''
+            ), counts AS (
+              SELECT tok, count(*) AS n FROM toks GROUP BY tok
+            ), tot AS (
+              SELECT sum(n) AS t_total, count(*) AS v_total FROM counts
+            ), model AS (
+              SELECT tok, n FROM counts ORDER BY n DESC, tok ASC LIMIT 512
+            )
+            SELECT t.doc_id,
+                   count(*) AS n_tokens,
+                   CAST(sum(CASE WHEN m.n IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_oov,
+                   CAST(round(
+                     100 * sum(ln(t_total + v_total + 1)
+                               - ln(coalesce(m.n, 0) + 1))
+                       / (count(*) * ln(2)), 0) AS BIGINT) AS bits_e2
+            FROM toks t
+            LEFT JOIN model m USING (tok)
+            CROSS JOIN tot
+            GROUP BY t.doc_id
         """,
         # mirrors the q_debezium_replay derivation from `events`
         # directly (values, not envelope encodings, are compared): the

@@ -71,6 +71,7 @@ HEADLINE = [
     "bm25_indexed_replay",
     "minhash_index_probe",
     "debezium_replay",
+    "unigram_perplexity",
 ]
 
 #: In-run anchor for substrate-drift cancellation (VERDICT r4 item 7):
