@@ -177,6 +177,44 @@ class FileChangelogSource:
         )
 
 
+class DebeziumFileSource:
+    """JSON-lines segment directory of Debezium envelopes → changelog
+    stream: ``readStream.text`` + :func:`sources.debezium.parse_debezium`
+    — the file analogue of a Kafka topic carrying Debezium values
+    (each closed ``.jsonl`` segment = one flushed offset range).
+    Tombstones and malformed records drop inside the projection, so
+    the downstream ``foreachBatch`` apply is identical to the native
+    tail; composes with ``streaming/tail.py tail_changelog(source=…)``
+    whole (exactly-once stays the ENGINE's ledger, per that module)."""
+
+    def __init__(
+        self,
+        path: str,
+        max_files_per_trigger: int = 8,
+        spill_unknown_after: bool = False,
+    ):
+        self.path = path
+        self.max_files_per_trigger = max_files_per_trigger
+        self.spill_unknown_after = spill_unknown_after
+
+    def _parse(self, raw: DataFrame) -> DataFrame:
+        from clinvar_ingest_spark.sources.debezium import parse_debezium
+
+        return parse_debezium(
+            raw, spill_unknown_after=self.spill_unknown_after
+        )
+
+    def batch(self, spark: SparkSession) -> DataFrame:
+        return self._parse(spark.read.text(self.path))
+
+    def stream(self, spark: SparkSession) -> DataFrame:
+        return self._parse(
+            spark.readStream.option(
+                "maxFilesPerTrigger", self.max_files_per_trigger
+            ).text(self.path)
+        )
+
+
 class KafkaChangelogSource:
     """Kafka topic → changelog-schema DataFrame: the standard
     ``format("kafka")`` reader + a JSON value projection (html arrives

@@ -105,9 +105,20 @@ def main(argv: list[str] | None = None) -> int:
             changelog, rejects = parse_debezium(raw, with_rejects=True)
             n_rejects = rejects.count()
             if n_rejects:
-                # quarantine, never guess: keep raw value + reason next
-                # to the table for operator triage
-                rejects.write.mode("append").parquet(args.table + "_rejects")
+                # quarantine, never guess: raw value + reason land next
+                # to the table for operator triage. The output dir is
+                # keyed by the input path, written with overwrite — a
+                # redelivered/re-run job rewrites ITS OWN slice instead
+                # of appending duplicates (the same idempotence rule the
+                # engine's ledger gives the apply side)
+                import hashlib
+
+                src_key = hashlib.sha256(
+                    args.changelog.encode()
+                ).hexdigest()[:12]
+                rejects.write.mode("overwrite").parquet(
+                    f"{args.table}_rejects/src={src_key}"
+                )
             print(json.dumps({"format": "debezium", "rejects": n_rejects}))
         else:
             changelog = spark.read.parquet(args.changelog)

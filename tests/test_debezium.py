@@ -196,6 +196,51 @@ def test_spill_unknown_after_fields(spark):
     assert off[1] == '{"k": "keep", "e": "1"}' and off[2] is None
 
 
+def test_streaming_tail_from_debezium_segments(spark, tmp_path):
+    """DebeziumFileSource: a directory of JSON-lines envelope segments
+    tailed through tail_changelog converges to the native batch replay,
+    and a fresh-checkpoint redelivery of the same segments no-ops (the
+    engine ledger, not the Spark checkpoint, is the idempotency)."""
+    import os
+
+    from clinvar_ingest_spark.bus import DebeziumFileSource
+    from clinvar_ingest_spark.engine import CdcEngine
+    from clinvar_ingest_spark.streaming.tail import tail_changelog
+
+    native = _native_changelog(spark, tmp_path, 400, 80, name="cl3")
+    cols = ["seq", "op", "url", "warc_ts", "html", "lang",
+            "schema_ver", "extra"]
+    env = to_debezium(native.select(*cols)).select("value")
+    seg_dir = str(tmp_path / "segs")
+    os.makedirs(seg_dir)
+    # two closed segments, text JSON-lines
+    vals = [r.value for r in env.collect()]
+    for i, chunk in enumerate([vals[:200], vals[200:]]):
+        with open(os.path.join(seg_dir, f"seg-{i:04d}.jsonl"), "w") as f:
+            f.write("\n".join(chunk))
+
+    ref = CdcEngine(spark, str(tmp_path / "ref"), n_buckets=4)
+    ref.replay(native.select(*cols), batch_size=200)
+    want = ref.state_hash()
+
+    eng = CdcEngine(spark, str(tmp_path / "tailed"), n_buckets=4)
+    q = tail_changelog(
+        eng, None, str(tmp_path / "ckpt"),
+        source=DebeziumFileSource(seg_dir, max_files_per_trigger=1),
+    )
+    q.awaitTermination()
+    assert eng.state_hash() == want
+
+    # redelivery with a FRESH checkpoint: every batch id is committed
+    h = eng.table.history()
+    q2 = tail_changelog(
+        eng, None, str(tmp_path / "ckpt2"),
+        source=DebeziumFileSource(seg_dir, max_files_per_trigger=1),
+    )
+    q2.awaitTermination()
+    assert eng.state_hash() == want and eng.table.history() == h
+
+
 def test_engine_replay_from_envelopes_matches_native(spark, tmp_path):
     """Envelopes → parse_debezium → CdcEngine ≡ native changelog →
     CdcEngine (same final state hash)."""
