@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import glob
 import os
+from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -579,3 +580,93 @@ def clone_table(
         pass  # concurrent clone to the same root: identical genesis
     dest._set_current(sid)
     return dest
+
+
+@dataclass
+class MaintenancePolicy:
+    """Thresholds for :func:`auto_maintain` — the unattended
+    "auto-optimize" loop every managed lakehouse runs (Delta's
+    auto-compaction, Iceberg's maintenance actions, as one policy
+    object). ``None`` disables an action."""
+
+    #: fold MOR delta stacks when this many buckets carry deltas
+    compact_delta_buckets: int | None = 1
+    #: bin-pack buckets fragmented into >= this many base files
+    binpack_min_files: int | None = 4
+    #: keep at most this many snapshots (age guard via expire_grace)
+    expire_keep_last: int | None = 8
+    #: only expire snapshots older than this many seconds
+    expire_older_than_secs: float | None = 3600.0
+    #: concurrent-writer grace window passed to expire_snapshots
+    in_flight_grace_secs: float = 600.0
+    #: purge tombstones whose LWW position is older than this ISO ts
+    #: (None = never — set it to your stream's lateness bound)
+    purge_tombstones_before: str | None = None
+
+
+def auto_maintain(
+    spark: SparkSession,
+    table: LakeletTable,
+    policy: MaintenancePolicy | None = None,
+    engine=None,
+) -> dict:
+    """One policy-driven maintenance pass; returns what ran.
+
+    Order matters and is fixed: (1) fold deltas (semantic rewrite —
+    must precede layout work, bin-pack skips delta-covered buckets),
+    (2) purge aged tombstones, (3) bin-pack fragmented buckets,
+    (4) expire old snapshots + GC. Every action is the existing
+    idempotent primitive, so the whole pass is crash-safe and
+    re-runnable; live state is unchanged by construction (the
+    state-hash invariant each primitive already tests). Actions whose
+    threshold is not met are skipped — an empty dict means the table
+    needed nothing.
+
+    ``engine``: pass the owning :class:`CdcEngine` to use its
+    conflict-retrying ``compact()``; otherwise delta folding is
+    skipped (the fold needs the engine's merge kernels).
+
+    At 10^10 rows the decision inputs are manifest METADATA only
+    (file counts per bucket, delta flags, snapshot stamps) — deciding
+    costs no data I/O; only the chosen actions touch data, each
+    pruned to its own buckets.
+    """
+    pol = policy or MaintenancePolicy()
+    did: dict = {}
+    m = table.manifest()
+
+    if (
+        pol.compact_delta_buckets is not None
+        and engine is not None
+        and len(table.delta_buckets()) >= pol.compact_delta_buckets
+    ):
+        sid = engine.compact()
+        if sid:
+            did["compact"] = sid
+
+    if pol.purge_tombstones_before is not None:
+        before = table.current_snapshot_id()
+        sid = purge_tombstones(spark, table, pol.purge_tombstones_before)
+        if sid != before:
+            did["purge_tombstones"] = sid
+
+    if pol.binpack_min_files is not None:
+        before = table.current_snapshot_id()
+        sid = rewrite_small_files(spark, table, pol.binpack_min_files)
+        if sid != before:
+            did["binpack"] = sid
+
+    if pol.expire_keep_last is not None:
+        res = expire_snapshots(
+            table,
+            keep_last=pol.expire_keep_last,
+            older_than_secs=pol.expire_older_than_secs,
+            in_flight_grace_secs=pol.in_flight_grace_secs,
+        )
+        if res.get("expired"):
+            did["expire"] = {
+                "expired": len(res["expired"]),
+                "deleted_files": res.get("deleted_files", 0),
+            }
+
+    return did

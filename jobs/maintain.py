@@ -46,6 +46,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--zorder", action="store_true",
                    help="with --sort-by: Morton-interleave the columns "
                         "instead of lexicographic order")
+    p.add_argument("--auto", action="store_true",
+                   help="one policy-driven pass (lakelet.maintenance."
+                        "auto_maintain defaults: fold deltas, bin-pack "
+                        ">=4-file buckets, keep 8 snapshots older than "
+                        "1h); combinable with --purge-tombstones-before "
+                        "to also purge aged tombstones inside the pass")
     p.add_argument("--master", default="submit")
     args = p.parse_args(argv)
     if not (
@@ -55,6 +61,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.purge_tombstones_before
         or args.sort_by
         or args.binpack
+        or args.auto
     ):
         p.error("pick at least one maintenance operation")
 
@@ -73,6 +80,21 @@ def main(argv: list[str] | None = None) -> int:
     before = eng.state_hash()
     out: dict = {"table": args.table, "state_hash": before}
 
+    if args.auto:
+        from clinvar_ingest_spark.lakelet.maintenance import (
+            MaintenancePolicy,
+            auto_maintain,
+        )
+
+        out["auto"] = auto_maintain(
+            spark, eng.table,
+            MaintenancePolicy(
+                purge_tombstones_before=args.purge_tombstones_before,
+                in_flight_grace_secs=args.expire_grace,
+            ),
+            engine=eng,
+        )
+        args.purge_tombstones_before = None  # consumed by the policy
     if args.rebucket:
         out["rebucket_snapshot"] = rebucket(spark, eng.table, args.rebucket)
     if args.grow_buckets:

@@ -266,3 +266,92 @@ def test_expire_snapshots_refuses_branch_views(spark, tmp_path):
     # main run still works and keeps the branch head readable
     expire_snapshots(e.table, keep_last=1)
     assert br.read(spark).count() >= 0
+
+
+# ---------------------------------------------------------------------------
+# auto_maintain policy pass
+# ---------------------------------------------------------------------------
+
+
+def _replayed_engine(spark, tmp_path, **eng_kw):
+    from clinvar_ingest_spark.engine import CdcEngine
+    from clinvar_ingest_spark.sources.changelog import (
+        ChangelogSpec,
+        generate_changelog,
+        write_changelog_parquet,
+    )
+
+    p = str(tmp_path / "cl.parquet")
+    write_changelog_parquet(
+        generate_changelog(ChangelogSpec(n_events=1500, n_urls=400, seed=5)),
+        p,
+    )
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=4, **eng_kw)
+    eng.replay(spark.read.parquet(p), batch_size=500)
+    return eng
+
+
+def test_auto_maintain_cow_binpack_and_expire(spark, tmp_path):
+    from clinvar_ingest_spark.lakelet.maintenance import (
+        MaintenancePolicy,
+        auto_maintain,
+    )
+
+    eng = _replayed_engine(spark, tmp_path, max_records_per_file=40)
+    eng.table.max_records_per_file = None  # pack to one file per bucket
+    h = eng.state_hash(include_tombstones=True)
+    n_snaps_before = len(eng.table.history())
+
+    pol = MaintenancePolicy(
+        binpack_min_files=2,
+        expire_keep_last=2,
+        expire_older_than_secs=None,
+        in_flight_grace_secs=0.0,
+    )
+    did = auto_maintain(spark, eng.table, pol, engine=eng)
+    assert "binpack" in did and "expire" in did
+    assert did["expire"]["expired"] >= 1
+    m = eng.table.manifest()
+    per_bucket: dict[int, int] = {}
+    for f in m.files:
+        per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+    assert max(per_bucket.values()) == 1
+    assert eng.state_hash(include_tombstones=True) == h
+    assert len(eng.table.history()) < n_snaps_before
+
+    # a maintained table needs nothing: the pass reports empty
+    assert auto_maintain(spark, eng.table, pol, engine=eng) == {}
+
+
+def test_auto_maintain_folds_mor_deltas_first(spark, tmp_path):
+    from clinvar_ingest_spark.lakelet.maintenance import (
+        MaintenancePolicy,
+        auto_maintain,
+    )
+
+    eng = _replayed_engine(spark, tmp_path, write_mode="mor")
+    assert eng.table.delta_buckets()
+    h = eng.state_hash(include_tombstones=True)
+    did = auto_maintain(
+        spark,
+        eng.table,
+        MaintenancePolicy(expire_keep_last=None),
+        engine=eng,
+    )
+    assert "compact" in did
+    assert eng.table.delta_buckets() == []
+    assert eng.state_hash(include_tombstones=True) == h
+
+
+def test_auto_maintain_without_engine_skips_compact(spark, tmp_path):
+    from clinvar_ingest_spark.lakelet.maintenance import (
+        MaintenancePolicy,
+        auto_maintain,
+    )
+
+    eng = _replayed_engine(spark, tmp_path, write_mode="mor")
+    did = auto_maintain(
+        spark, eng.table, MaintenancePolicy(expire_keep_last=None)
+    )
+    assert "compact" not in did
+    assert eng.table.delta_buckets()  # untouched without the engine
