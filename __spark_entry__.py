@@ -1072,6 +1072,19 @@ def q_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing overlap detection (operators/dedupe.py, MOSS
+    algorithm): k=8-token window hashes → w=4 winnow minima (density
+    2/(w+1), any shared run ≥ k+w-1 tokens guaranteed caught) →
+    document-frequency cap → fp equi-join → pairs sharing ≥2
+    fingerprints. The md5-48 hash family lets the oracle replay the
+    exact values; the plan is the standard inverted-index pair shape
+    (8-byte shuffle keys, Σ df² cost, never corpus-pairwise)."""
+    from clinvar_ingest_spark.operators.dedupe import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(_t(spark, sf_dir, "documents"))
+
+
 def q_bm25_indexed_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-backed BM25 (the 100 TB query path): replay the CDC
     fixture into an engine table, maintain a CONTENT inverted index
@@ -2819,7 +2832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # normalization re-attested via the flagship replay), then the
     # two queries NEW in round 5 (bm25_topk, canonical_url_dedup),
     # then the least-recently-attested r1-r3 greens. With this window,
-    # every one of the 102 queries has had a driver CORRECTNESS row in
+    # every one of the 103 queries has had a driver CORRECTNESS row in
     # some round. The rotated-out r4-green replay/streaming family keeps
     # its operator pytests AND the new tests/test_default_session.py
     # gate, which runs ALL queries against the oracle under a
@@ -2859,6 +2872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_index_probe": q_minhash_index_probe,
         "debezium_replay": q_debezium_replay,
         "unigram_perplexity": q_unigram_perplexity,
+        "winnow_overlap_pairs": q_winnow_overlap_pairs,
         # -- least-recently-attested (last driver row r3 or earlier) --
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -3475,6 +3489,49 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token
             ORDER BY n DESC, token ASC
             LIMIT 50
+        """,
+        # mirrors winnow_fingerprints/winnow_overlap_pairs exactly:
+        # same md5-48 window hashes, w=4 winnow minima via a window
+        # min + full-frame guard, short-doc (<w windows) single-min
+        # degenerate case, df<=20 cap, shared>=2 pair cut
+        "winnow_overlap_pairs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), '\s+') AS ts
+              FROM documents
+            ), pos AS (
+              SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) AS i
+              FROM toks WHERE len(ts) >= 8
+            ), fp AS (
+              SELECT doc_id, i,
+                     ('0x' || substr(md5(array_to_string(
+                        list_slice(ts, i, i + 7), ' ')), 1, 12))::BIGINT
+                       AS h
+              FROM pos
+            ), win AS (
+              SELECT doc_id, i, h,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+                     count(*) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wcnt,
+                     count(*) OVER (PARTITION BY doc_id) AS nh
+              FROM fp
+            ), fps AS (
+              SELECT DISTINCT doc_id, wmin AS fp FROM win WHERE wcnt = 4
+              UNION
+              SELECT doc_id, min(h) AS fp FROM win
+              WHERE nh < 4 GROUP BY doc_id
+            ), freq AS (
+              SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 20
+            ), kept AS (
+              SELECT f.doc_id, f.fp FROM fps f JOIN freq USING (fp)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM kept a JOIN kept b USING (fp)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
         """,
         # mirrors operators/quality_lm.py exactly: same token stream as
         # vocab_topk, same deterministic vocab cut, same add-one

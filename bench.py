@@ -72,6 +72,7 @@ HEADLINE = [
     "minhash_index_probe",
     "debezium_replay",
     "unigram_perplexity",
+    "winnow_overlap_pairs",
 ]
 
 #: In-run anchor for substrate-drift cancellation (VERDICT r4 item 7):

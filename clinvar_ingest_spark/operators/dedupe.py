@@ -810,3 +810,100 @@ def _cut_covered(
     ).select(
         F.col("id").alias(id_col), "n_tokens", "n_kept", "kept_md5"
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 —
+    the MOSS algorithm): hash every k-token window, then keep the
+    MINIMUM hash of each w-window of those hashes. Guarantee: any
+    shared token run of length ≥ k + w - 1 leaves at least one shared
+    fingerprint, with expected density 2/(w+1) — position-robust
+    overlap detection at a fraction of the full rolling-hash volume
+    (vs :func:`functions.text.rolling_fingerprints`, which keeps every
+    window).
+
+    Returns exploded ``(id_col, fp)`` rows, distinct per doc. All
+    JVM higher-order functions over one scan — the window hashes are
+    materialized once per row before the winnow pass (never recomputed
+    per winnow position). Hashes are the 48-bit md5 family
+    (functions/xhash.py) so a SQL oracle replays values exactly.
+    Docs with fewer than k tokens yield no fingerprints; docs with
+    1..w-1 windows yield their single minimum (the standard short-doc
+    degenerate case).
+    """
+    from clinvar_ingest_spark.functions.text import tokens
+    from clinvar_ingest_spark.functions.xhash import md5_long48
+
+    toks = tokens(F.col(text_col))
+    hashes = F.when(
+        F.size(toks) < k, F.array().cast("array<long>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: md5_long48(
+                F.concat_ws(" ", F.slice(toks, i + 1, k))
+            ),
+        )
+    )
+    staged = df.select(F.col(id_col), hashes.alias("_h"))
+    nh = F.size(F.col("_h"))
+    winnowed = (
+        F.when(nh == 0, F.col("_h"))
+        .when(nh < w, F.array(F.array_min(F.col("_h"))))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(0), nh - w),
+                lambda j: F.array_min(F.slice(F.col("_h"), j + 1, w)),
+            )
+        )
+    )
+    return staged.select(
+        id_col, F.explode(F.array_distinct(winnowed)).alias("fp")
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    max_df: int = 20,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Overlap-candidate pairs from shared winnowing fingerprints —
+    the inverted-index plan every *_pairs operator here uses: explode
+    fingerprints → document-frequency cap (``max_df``: a fingerprint
+    present in more than this many docs is boilerplate and indexes
+    nothing, the hot-shingle guard) → fp equi-join → per-pair shared
+    count ≥ ``min_shared``. Shuffle keys are 8-byte hashes; cost is
+    Σ df² over kept fingerprints, never corpus-pairwise.
+
+    Complements MinHash (similarity over whole docs) and ExactSubstr
+    (byte-identical spans): winnowing finds PARTIAL overlap — quoting,
+    template reuse, chunk-level copying — with a length-≥ k+w-1
+    guarantee instead of a probabilistic one.
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, k, w)
+    keep = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("fp")
+    )
+    kept = fps.join(keep, "fp")
+    a = kept.select(F.col("fp"), F.col(id_col).alias("id_a"))
+    b = kept.select(F.col("fp"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

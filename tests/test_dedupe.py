@@ -374,3 +374,70 @@ def test_substr_fingerprints_128bit_pair_independent(spark):
     (r1, r2) = rows
     assert r1["h1"] != r1["h2"]  # independent streams
     assert (r1["h1"], r1["h2"]) == (r2["h1"], r2["h2"])  # content-keyed
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (MOSS)
+# ---------------------------------------------------------------------------
+
+
+def test_winnow_guarantee_and_density(spark):
+    """Any shared token run >= k+w-1 must leave a shared fingerprint;
+    disjoint docs share nothing; short docs degenerate to one min."""
+    from pyspark.sql import Row
+
+    from clinvar_ingest_spark.operators.dedupe import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(11))  # k+w-1 = 11 tokens
+    docs = [
+        Row(doc_id=1, text="alpha beta " + shared + " gamma delta xx yy"),
+        Row(doc_id=2, text=shared + " zz ww unrelated tokens here now"),
+        Row(doc_id=3, text=" ".join(f"q{i}" for i in range(30))),
+        Row(doc_id=4, text="tiny doc with nine words in it right here"),
+    ]
+    df = spark.createDataFrame(docs)
+    fps = winnow_fingerprints(df, k=8, w=4)
+    by_doc = {
+        r.doc_id: {x.fp for x in rows}
+        for r in fps.select("doc_id").distinct().collect()
+        for rows in [fps.filter(fps.doc_id == r.doc_id).collect()]
+    }
+    # guarantee: docs 1 and 2 share the 11-token run
+    assert by_doc[1] & by_doc[2]
+    # disjoint vocab: doc 3 shares nothing with anyone
+    assert not (by_doc[3] & (by_doc[1] | by_doc[2]))
+    # short doc (9 tokens -> 2 windows < w): exactly one fingerprint
+    assert len(by_doc[4]) == 1
+    # density: winnowing keeps far fewer than all windows on doc 3
+    assert len(by_doc[3]) < 30 - 8 + 1
+
+    pairs = winnow_overlap_pairs(df, k=8, w=4, min_shared=1)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got and not any(3 in p for p in got)
+
+
+def test_winnow_position_invariance(spark):
+    """The same passage at different offsets fingerprints identically
+    (content-defined selection — shifting a prefix must not reshuffle
+    the winnowed set of the shared region)."""
+    from pyspark.sql import Row
+
+    from clinvar_ingest_spark.operators.dedupe import winnow_fingerprints
+
+    passage = " ".join(f"p{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=passage),
+            Row(doc_id=2, text="pre1 pre2 pre3 pre4 pre5 " + passage),
+        ]
+    )
+    fps = {
+        d: {r.fp for r in winnow_fingerprints(df, k=8, w=4)
+            .filter(f"doc_id = {d}").collect()}
+        for d in (1, 2)
+    }
+    # every fingerprint of the bare passage also fires inside doc 2
+    assert fps[1] <= fps[2]
